@@ -1,0 +1,143 @@
+"""Default configuration tree.
+
+Mirrors the reference config system (reference: configs/base_config.py:12-110):
+a nested attribute-dict of defaults, overlaid by per-model YAML files with
+strict key and type validation, then overridden from the CLI.
+
+TPU-specific additions live under ``TPU`` (mesh shape, precision policy,
+host prefetch depth); the reference's APEX block (configs/base_config.py:48-51,
+an admitted-broken mixed-precision stub) is replaced by ``TPU.bf16``.
+"""
+
+from __future__ import annotations
+
+import copy
+
+
+class AttrDict(dict):
+    """Attribute-style dict, the config node type (analog of easydict)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+    def __deepcopy__(self, memo):
+        return AttrDict({k: copy.deepcopy(v, memo) for k, v in self.items()})
+
+
+def _d(**kw) -> AttrDict:
+    return AttrDict(kw)
+
+
+def default_config() -> AttrDict:
+    """Build a fresh default config tree (reference: configs/base_config.py:12-110)."""
+    cfg = AttrDict()
+
+    # Dataset. Options: 'Completion3D', 'ShapeNet', 'ShapeNetCars', 'KITTI',
+    # plus TPU-build-only 'Synthetic' (procedural shapes; no files needed).
+    cfg.DATASET = _d(
+        train_dataset="ShapeNet",
+        test_dataset="ShapeNet",
+        n_outpoints=16384,
+        num_class=0,
+    )
+
+    cfg.CONST = _d(
+        device="0",
+        weights=None,
+        num_workers=8,
+        n_input_points=3000,
+        seed=1,
+    )
+
+    cfg.DIR = _d(out_path="./output", in_path="./output/checkpoints")
+
+    cfg.NETWORK = _d(
+        n_sampling_points=2048,
+        gridding_loss_scales=[128, 64],
+        gridding_loss_alphas=[0.1, 0.01],
+        n_primitives=16,
+        model_type="SpareNet",
+        metric="emd",
+        encode="Residualnet",
+        use_adain="share",
+        use_selayer=False,
+        use_consist_loss=False,
+    )
+
+    # TPU execution policy (replaces reference APEX block).
+    cfg.TPU = _d(
+        bf16=False,             # bfloat16 matmuls in the model forward
+        mesh_batch=0,           # devices on the batch mesh axis; 0 = all
+        prefetch=2,             # host->device prefetch depth
+        donate=True,            # donate train-state buffers to the jitted step
+    )
+
+    cfg.RENDER = _d(
+        img_size=256,
+        radius_list=[5.0, 7.0, 10.0],
+        projection="orthorgonal",  # 'orthorgonal' or 'perspective' (sic, kept)
+        eyepos=1.0,
+        n_views=8,
+    )
+
+    cfg.GAN = _d(
+        use_im=True,
+        use_fm=True,
+        use_cgan=False,
+        weight_im=1,
+        weight_fm=1,
+        weight_l2=200,
+        weight_gan=0.1,
+    )
+
+    cfg.TRAIN = _d(
+        batch_size=8,
+        n_epochs=150,
+        save_freq=5,
+        log_freq=1,
+        learning_rate=1e-4,
+        lr_milestones=[1000],
+        gamma=0.5,
+        betas=(0.0, 0.9),
+        weight_decay=0,
+    )
+
+    cfg.TEST = _d(
+        mode="default",
+        infer_freq=25,
+        metric_name="EMD",  # 'EMD' or 'ChamferDistance'
+    )
+
+    cfg.DATASETS = _d(
+        shapenet=_d(
+            n_renderings=8,
+            n_points=16384,
+            version="GRnet",
+            category_file_path="./sparenet_tpu/data/meta/ShapeNet.json",
+            partial_points_path="/path/to/datasets/ShapeNetCompletion/%s/partial/%s/%s/%02d.pcd",
+            complete_points_path="/path/to/datasets/ShapeNetCompletion/%s/complete/%s/%s.pcd",
+        ),
+        completion3d=_d(
+            category_file_path="./sparenet_tpu/data/meta/Completion3D.json",
+            partial_points_path="/path/to/datasets/completion3d/data/shapenet/%s/partial/%s/%s.h5",
+            complete_points_path="/path/to/datasets/completion3d/data/shapenet/%s/gt/%s/%s.h5",
+        ),
+        kitti=_d(
+            category_file_path="./sparenet_tpu/data/meta/KITTI.json",
+            partial_points_path="/path/to/datasets/KITTI/cars/%s.pcd",
+            bounding_box_file_path="/path/to/datasets/KITTI/bboxes/%s.txt",
+        ),
+        synthetic=_d(
+            n_train=256,
+            n_val=32,
+            n_categories=8,
+        ),
+    )
+
+    return cfg

@@ -1,0 +1,382 @@
+"""Shared model building blocks (flax.linen, channel-last).
+
+TPU-native analogs of the reference's torch modules in
+models/sparenet_generator.py. Convention: point features are
+[B, N, C] (the reference is channel-first [B, C, N]); 1x1 Conv1d/Conv2d
+become Dense layers over the trailing channel axis, which XLA lowers to
+MXU matmuls batched over points.
+
+Weight-init parity (utils/model_init.py:137-160):
+  - Conv1d  -> normal(0, 0.02)
+  - Conv2d/3d (incl. transpose) -> kaiming normal (fan_in, gain sqrt(2))
+  - Linear  -> normal(0, 0.01), bias 0
+  - BatchNorm1d -> scale ~ normal(1, 0.02), bias 0
+  - BatchNorm2d/3d -> scale 1, bias 0
+Helpers below tag each Dense with the init of the torch layer it replaces.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.knn import get_graph_feature
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+conv1d_init = nn.initializers.normal(stddev=0.02)
+linear_init = nn.initializers.normal(stddev=0.01)
+kaiming_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def bn1d_scale_init(key, shape, dtype=jnp.float32):
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+class Conv1d(nn.Dense):
+    """1x1 Conv1d replacement (init parity: normal(0, 0.02))."""
+
+    kernel_init: Callable = conv1d_init
+
+
+class Linear(nn.Dense):
+    """nn.Linear replacement (init parity: normal(0, 0.01))."""
+
+    kernel_init: Callable = linear_init
+
+
+class Conv2d1x1(nn.Dense):
+    """1x1 Conv2d replacement (init parity: kaiming normal)."""
+
+    kernel_init: Callable = kaiming_init
+
+
+def batch_norm_1d(train: bool, name: str | None = None) -> nn.BatchNorm:
+    """torch BatchNorm1d parity: eps 1e-5, momentum 0.1 (EMA decay 0.9)."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        scale_init=bn1d_scale_init,
+        name=name,
+    )
+
+
+def batch_norm_2d(train: bool, name: str | None = None) -> nn.BatchNorm:
+    """torch BatchNorm2d/3d parity (scale init 1)."""
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+    )
+
+
+# ---------------------------------------------------------------------------
+# AdaIN
+# ---------------------------------------------------------------------------
+
+def adaptive_instance_norm(x: jnp.ndarray, weight: jnp.ndarray,
+                           bias: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """AdaIN over the point axis.
+
+    x [B, N, C]; weight/bias [B, C] (externally generated style params).
+    Parity: AdaptiveInstanceNorm1d (models/sparenet_generator.py:909-956)
+    — F.batch_norm over a (1, B*C, N) reshape with training=True, i.e.
+    instance statistics per (sample, channel) with biased variance.
+    """
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + eps)
+    return xn * weight[:, None, :] + bias[:, None, :]
+
+
+def grid_decoder_adain_sizes(bottleneck_size: int) -> tuple[int, ...]:
+    """Per-layer AdaIN feature counts of GridDecoder, in module order
+    (models/sparenet_generator.py:1028-1030)."""
+    return (bottleneck_size, bottleneck_size // 2, bottleneck_size // 4)
+
+
+def num_adain_params(bottleneck_size: int) -> int:
+    """get_num_adain_params parity (models/sparenet_generator.py:815-828)."""
+    return 2 * sum(grid_decoder_adain_sizes(bottleneck_size))
+
+
+def split_adain_params(params: jnp.ndarray, sizes: Sequence[int]):
+    """assign_adain_params parity (models/sparenet_generator.py:831-849):
+    per AdaIN layer, [mean(=bias), std(=weight)] consumed in order."""
+    out = []
+    off = 0
+    for nf in sizes:
+        bias = params[:, off:off + nf]
+        weight = params[:, off + nf:off + 2 * nf]
+        out.append((weight, bias))
+        off += 2 * nf
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Squeeze-excitation
+# ---------------------------------------------------------------------------
+
+class SELayer(nn.Module):
+    """Squeeze-excitation over [B, ..., C] (reduction 16).
+
+    Parity: SELayer / SELayer1D (models/sparenet_generator.py:741-790);
+    one channel-last module covers both the 1D and 2D variants (the
+    average pool runs over all non-(batch, channel) axes).
+    """
+
+    channel: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(range(1, x.ndim - 1))
+        y = jnp.mean(x, axis=axes)                         # [B, C]
+        y = Linear(self.channel // self.reduction, use_bias=False)(y)
+        y = nn.relu(y)
+        y = Linear(self.channel, use_bias=False)(y)
+        y = nn.sigmoid(y)
+        return x * y.reshape(y.shape[0:1] + (1,) * (x.ndim - 2) + y.shape[1:2])
+
+
+# ---------------------------------------------------------------------------
+# Encoders
+# ---------------------------------------------------------------------------
+
+class PointNetfeat(nn.Module):
+    """PointNet global feature (models/sparenet_generator.py:245-286).
+
+    x [B, N, 3] -> [B, hide_size] via 3 -> 64 -> 128 -> hide 1x1 convs
+    (+BN, optional SE) and a global max pool.
+    """
+
+    hide_size: int = 4096
+    use_selayer: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        train = self.train
+        x = Conv1d(64)(x)
+        x = batch_norm_1d(train)(x)
+        if self.use_selayer:
+            x = SELayer(64)(x)
+        x = nn.relu(x)
+        x = Conv1d(128)(x)
+        x = batch_norm_1d(train)(x)
+        if self.use_selayer:
+            x = SELayer(128)(x)
+        x = nn.relu(x)
+        x = Conv1d(self.hide_size)(x)
+        x = batch_norm_1d(train)(x)
+        return jnp.max(x, axis=1)
+
+
+class EdgeConvResFeat(nn.Module):
+    """Channel-attentive EdgeConv encoder
+    (models/sparenet_generator.py:123-242).
+
+    x [B, N, 3] -> [B, output_size]: 4 EdgeConv stages (kNN graph on the
+    *feature* space, k=8) with 1x1-conv residual shortcuts, concat of the
+    4 scales, a wide conv5, then concat(max-pool, avg-pool).
+    """
+
+    k: int = 8
+    hide_size: int = 4096
+    output_size: int = 4096
+    use_selayer: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        train = self.train
+        h = self.hide_size
+
+        def stage(feat, out_ch, idx):
+            e = get_graph_feature(feat, k=self.k)          # [B,N,k,2C]
+            e = Conv2d1x1(out_ch, use_bias=False)(e)
+            e = batch_norm_2d(train)(e)
+            if self.use_selayer:
+                e = SELayer(out_ch)(e)
+            e = nn.leaky_relu(e, negative_slope=0.2)
+            return jnp.max(e, axis=2)                      # [B,N,out_ch]
+
+        x1 = stage(x, h // 16, 1)
+
+        x2_res = Conv1d(h // 16, use_bias=False)(x1)
+        x2 = stage(x1, h // 16, 2) + x2_res
+
+        x3_res = Conv1d(h // 8, use_bias=False)(x2)
+        x3 = stage(x2, h // 8, 3) + x3_res
+
+        x4_res = Conv1d(h // 4, use_bias=False)(x3)
+        x4 = stage(x3, h // 4, 4) + x4_res
+
+        xc = jnp.concatenate([x1, x2, x3, x4], axis=-1)    # [B,N,h/2]
+        xc = Conv1d(self.output_size // 2, use_bias=False)(xc)
+        xc = batch_norm_1d(train)(xc)
+        xc = nn.leaky_relu(xc, negative_slope=0.2)
+
+        xmax = jnp.max(xc, axis=1)
+        xavg = jnp.mean(xc, axis=1)
+        return jnp.concatenate([xmax, xavg], axis=-1)      # [B, output_size]
+
+
+# ---------------------------------------------------------------------------
+# Decoders / residual refiners
+# ---------------------------------------------------------------------------
+
+class PointGenCon(nn.Module):
+    """Folding decoder without AdaIN (models/sparenet_generator.py:463-527).
+
+    x [B, S, input_dim] -> [B, S, 3]; tanh output.
+    """
+
+    bottleneck_size: int = 1026
+    use_selayer: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        train = self.train
+        bs = self.bottleneck_size
+        for ch in (bs, bs // 2, bs // 4):
+            x = Conv1d(ch)(x)
+            x = batch_norm_1d(train)(x)
+            if self.use_selayer:
+                x = SELayer(ch)(x)
+            x = nn.relu(x)
+        x = Conv1d(3)(x)
+        return jnp.tanh(x)
+
+
+class GridDecoder(nn.Module):
+    """AdaIN-modulated folding decoder
+    (models/sparenet_generator.py:962-1062).
+
+    x [B, S, input_dim], adain_params [B, num_adain_params] ->
+    [B, S, 3]. Layer order per stage: conv -> AdaIN -> BN -> (SE) -> relu;
+    final conv + tanh.
+    """
+
+    bottleneck_size: int = 1026
+    use_selayer: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x, adain_params):
+        train = self.train
+        sizes = grid_decoder_adain_sizes(self.bottleneck_size)
+        style = split_adain_params(adain_params, sizes)
+        for (ch, (w, b)) in zip(sizes, style):
+            x = Conv1d(ch)(x)
+            x = adaptive_instance_norm(x, w, b)
+            x = batch_norm_1d(train)(x)
+            if self.use_selayer:
+                x = SELayer(ch)(x)
+            x = nn.relu(x)
+        x = Conv1d(3)(x)
+        return jnp.tanh(x)
+
+
+class PointNetRes(nn.Module):
+    """Residual refinement net (models/sparenet_generator.py:582-646).
+
+    x [B, N, 4] -> [B, N, 3]; global maxpool feature tiled and concat
+    with the 64-d point features; tanh output.
+    """
+
+    use_selayer: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        train = self.train
+
+        def block(v, ch, se):
+            v = Conv1d(ch)(v)
+            v = batch_norm_1d(train)(v)
+            if se and self.use_selayer:
+                v = SELayer(ch)(v)
+            return nn.relu(v)
+
+        x = block(x, 64, True)
+        pointfeat = x
+        x = block(x, 128, True)
+        x = Conv1d(1024)(x)
+        x = batch_norm_1d(train)(x)
+        g = jnp.max(x, axis=1, keepdims=True)              # [B,1,1024]
+        g = jnp.broadcast_to(g, (x.shape[0], x.shape[1], 1024))
+        x = jnp.concatenate([g, pointfeat], axis=-1)       # [B,N,1088]
+        x = block(x, 512, True)
+        x = block(x, 256, True)
+        x = block(x, 128, True)
+        x = Conv1d(3)(x)
+        return jnp.tanh(x)
+
+
+class EdgeRes(nn.Module):
+    """EdgeConv residual refiner (models/sparenet_generator.py:649-738).
+
+    Unused by default in the reference (self.edgeres = False,
+    models/sparenet_generator.py:552) but ported for parity.
+    """
+
+    k: int = 8
+    use_selayer: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        train = self.train
+
+        def estage(feat, ch, se=True, act=True):
+            e = get_graph_feature(feat, k=self.k)
+            e = Conv2d1x1(ch, use_bias=False)(e)
+            e = batch_norm_2d(train)(e)
+            if se and self.use_selayer:
+                e = SELayer(ch)(e)
+            if act:
+                e = nn.relu(e)
+            return jnp.max(e, axis=2)
+
+        x = estage(x, 64)
+        pointfeat = x
+        x = estage(x, 128)
+        x = estage(x, 1024, se=False, act=False)
+        g = jnp.max(x, axis=1, keepdims=True)
+        g = jnp.broadcast_to(g, (x.shape[0], x.shape[1], 1024))
+        x = jnp.concatenate([g, pointfeat], axis=-1)
+        x = estage(x, 512)
+        x = estage(x, 256)
+        x = estage(x, 128)
+        # final: graph feature -> conv -> tanh -> max over k
+        e = get_graph_feature(x, k=self.k)
+        e = Conv2d1x1(3, use_bias=False)(e)
+        e = jnp.tanh(e)
+        return jnp.max(e, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# folding grid
+# ---------------------------------------------------------------------------
+
+def grid_generation(num_points: int, nb_primitives: int) -> np.ndarray:
+    """Fixed 2D folding grid, identical for every primitive.
+
+    Parity: models/sparenet_generator.py:793-812 — grain_x/grain_y from
+    2^(floor/ceil(log2(S)/2)) - 1; vertices (i/gx, j/gy), x-major.
+    Returns [S, 2] float32 in [0, 1].
+    """
+    s = num_points / nb_primitives
+    grain_x = 2 ** np.floor(np.log2(s) / 2) - 1
+    grain_y = 2 ** np.ceil(np.log2(s) / 2) - 1
+    xs = np.arange(int(grain_x) + 1) / grain_x
+    ys = np.arange(int(grain_y) + 1) / grain_y
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1).astype(np.float32)

@@ -1,0 +1,70 @@
+"""MSN: morphing decoder + expansion penalty + MDS resample + residual refine.
+
+TPU-native rebuild of models/msn_generator.py:14-82.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.expansion_penalty import expansion_penalty
+from ..ops.mds import minimum_density_sample, gather_points
+from .atlasnet import PointEncoder
+from .layers import PointGenCon, PointNetRes
+
+
+class MSN(nn.Module):
+    """__call__(partial [B, N_in, 3]) -> (coarse, refine [B, N, 3], loss_mst)
+    (models/msn_generator.py:42-82)."""
+
+    num_points: int = 16384
+    bottleneck_size: int = 1024
+    n_primitives: int = 32
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, partial):
+        b = partial.shape[0]
+        s = self.num_points // self.n_primitives
+        style = PointEncoder(
+            bottleneck_size=self.bottleneck_size, train=self.train
+        )(partial)
+
+        rand_grid = jax.random.uniform(
+            self.make_rng("grid"), (self.n_primitives, b, s, 2),
+            dtype=partial.dtype,
+        )
+        y = jnp.broadcast_to(style[None, :, None, :],
+                             (self.n_primitives, b, s, style.shape[-1]))
+        y = jnp.concatenate([rand_grid, y], axis=-1)
+
+        vdec = nn.vmap(
+            PointGenCon,
+            in_axes=(0,),
+            out_axes=0,
+            axis_size=self.n_primitives,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True},
+        )(bottleneck_size=2 + self.bottleneck_size, train=self.train)
+        outs = vdec(y)                                      # [P, B, S, 3]
+        coarse = jnp.transpose(outs, (1, 0, 2, 3)).reshape(b, self.num_points, 3)
+
+        dist, _, mean_mst_dis = expansion_penalty(coarse, s, 1.5)
+        loss_mst = jnp.mean(dist)
+
+        # flag channels + MDS resample (models/msn_generator.py:70-79)
+        gen = jnp.concatenate(
+            [coarse, jnp.zeros((b, self.num_points, 1), coarse.dtype)], axis=-1
+        )
+        part = jnp.concatenate(
+            [partial, jnp.ones(partial.shape[:2] + (1,), coarse.dtype)], axis=-1
+        )
+        base = jnp.concatenate([gen, part], axis=1)
+        idx = minimum_density_sample(base[..., :3], self.num_points, mean_mst_dis)
+        base = gather_points(base, idx)
+
+        delta = PointNetRes(train=self.train)(base)
+        refine = base[..., :3] + delta
+        return coarse, refine, loss_mst

@@ -1,0 +1,251 @@
+"""SpareNet generator: style-based folding with double refinement.
+
+TPU-native rebuild of models/sparenet_generator.py:12-391,530-579.
+Architectural differences from the reference (same math, TPU shape):
+
+  - the 32-primitive Python loop over per-primitive decoders
+    (models/sparenet_generator.py:352-391) is a single ``nn.vmap`` over a
+    leading primitive axis — 32 independent parameter sets, one XLA
+    program, MXU-batched matmuls.
+  - the mutating ``assign_adain_params`` protocol
+    (models/sparenet_generator.py:831-849) becomes a functional style
+    argument threaded into the vmapped GridDecoder.
+  - channel-last layout throughout; clouds are [B, N, 3].
+
+``train`` is a module attribute: construct with train=False for eval
+(identical parameter structure).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.expansion_penalty import expansion_penalty
+from ..ops.mds import minimum_density_sample, gather_points
+from .layers import (
+    EdgeConvResFeat,
+    EdgeRes,
+    GridDecoder,
+    Linear,
+    PointGenCon,
+    PointNetRes,
+    PointNetfeat,
+    batch_norm_1d,
+    grid_generation,
+    num_adain_params,
+)
+
+_DEC_BOTTLENECK = 1026  # GridDecoder/PointGenCon default width
+
+
+class SpareNetEncode(nn.Module):
+    """Feature extractor + bottleneck head
+    (models/sparenet_generator.py:85-120)."""
+
+    bottleneck_size: int = 4096
+    hide_size: int = 4096
+    use_selayer: bool = False
+    encode: str = "Pointfeat"
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.encode == "Residualnet":
+            x = EdgeConvResFeat(
+                use_selayer=self.use_selayer, k=8,
+                output_size=self.hide_size, hide_size=4096,
+                train=self.train,
+            )(x)
+        else:
+            x = PointNetfeat(
+                hide_size=self.hide_size, use_selayer=self.use_selayer,
+                train=self.train,
+            )(x)
+        x = Linear(self.bottleneck_size)(x)
+        x = batch_norm_1d(self.train)(x)
+        return nn.relu(x)
+
+
+class _AdaInPointGenCon(nn.Module):
+    """Per-primitive style MLP + AdaIN decoder
+    (AdaInPointGenCon, models/sparenet_generator.py:425-460)."""
+
+    use_selayer: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, grid_in, style):
+        h = Linear(style.shape[-1])(style)
+        h = nn.relu(h)
+        ap = Linear(num_adain_params(_DEC_BOTTLENECK))(h)
+        return GridDecoder(
+            bottleneck_size=_DEC_BOTTLENECK,
+            use_selayer=self.use_selayer,
+            train=self.train,
+        )(grid_in, ap)
+
+
+class SpareNetDecode(nn.Module):
+    """Style-based multi-primitive folding decoder
+    (models/sparenet_generator.py:289-391).
+
+    Returns the coarse cloud [B, num_points, 3]; primitive i owns the
+    contiguous slice [i*S, (i+1)*S) of the point axis, matching the
+    reference's torch.cat over the primitive loop.
+    """
+
+    num_points: int = 16384
+    n_primitives: int = 32
+    bottleneck_size: int = 4096
+    use_adain: str = "share"
+    use_selayer: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, style):
+        b = style.shape[0]
+        grid = jnp.asarray(grid_generation(self.num_points, self.n_primitives))
+        grid = (grid - 0.5) * 2.0                                # [S, 2]
+        s = grid.shape[0]
+        grid_b = jnp.broadcast_to(grid[None], (b, s, 2))
+
+        if self.use_adain == "share":
+            # one MLP emits AdaIN params consumed by every primitive
+            # (models/sparenet_generator.py:312-329)
+            h = Linear(self.bottleneck_size)(style)
+            h = nn.relu(h)
+            adain = Linear(num_adain_params(_DEC_BOTTLENECK))(h)
+
+            vdec = nn.vmap(
+                GridDecoder,
+                in_axes=(None, None),
+                out_axes=0,
+                axis_size=self.n_primitives,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+            )(bottleneck_size=_DEC_BOTTLENECK, use_selayer=self.use_selayer,
+              train=self.train)
+            outs = vdec(grid_b, adain)                           # [P, B, S, 3]
+
+        elif self.use_adain == "no_share":
+            vdec = nn.vmap(
+                _AdaInPointGenCon,
+                in_axes=(None, None),
+                out_axes=0,
+                axis_size=self.n_primitives,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+            )(use_selayer=self.use_selayer, train=self.train)
+            outs = vdec(grid_b, style)
+
+        elif self.use_adain == "no_use":
+            # concat style onto the grid (models/sparenet_generator.py:375-390)
+            y = jnp.broadcast_to(style[:, None, :], (b, s, style.shape[-1]))
+            y = jnp.concatenate([grid_b, y], axis=-1)
+            vdec = nn.vmap(
+                PointGenCon,
+                in_axes=(None,),
+                out_axes=0,
+                axis_size=self.n_primitives,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+            )(bottleneck_size=_DEC_BOTTLENECK, use_selayer=self.use_selayer,
+              train=self.train)
+            outs = vdec(y)
+        else:
+            raise ValueError(f"unknown use_adain mode {self.use_adain!r}")
+
+        # [P, B, S, 3] -> [B, P*S, 3] with primitive-contiguous point order
+        outs = jnp.transpose(outs, (1, 0, 2, 3))
+        return outs.reshape(b, self.n_primitives * s, 3)
+
+
+class SpareNetRefine(nn.Module):
+    """Expansion-penalty + MDS-resample + residual delta refiner
+    (models/sparenet_generator.py:530-579). Shared between both refine
+    passes (the reference reuses one module instance)."""
+
+    num_points: int = 16384
+    n_primitives: int = 32
+    use_selayer: bool = False
+    edgeres: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, coarse, partial):
+        """coarse [B, N, 3], partial [B, N_in, 3] ->
+        (refined [B, N, 3], loss_mst scalar)."""
+        b, n, _ = coarse.shape
+        dist, _, mean_mst_dis = expansion_penalty(
+            coarse, self.num_points // self.n_primitives, 1.5
+        )
+        loss_mst = jnp.mean(dist)
+
+        # flag channel: 0 for generated, 1 for partial
+        # (models/sparenet_generator.py:563-568)
+        inps = jnp.concatenate(
+            [coarse, jnp.zeros((b, n, 1), coarse.dtype)], axis=-1
+        )
+        part = jnp.concatenate(
+            [partial, jnp.ones(partial.shape[:2] + (1,), coarse.dtype)], axis=-1
+        )
+        base = jnp.concatenate([inps, part], axis=1)      # [B, N+N_in, 4]
+
+        idx = minimum_density_sample(base[..., :3], n, mean_mst_dis)
+        base = gather_points(base, idx)                   # [B, N, 4]
+
+        if self.edgeres:
+            delta = EdgeRes(use_selayer=self.use_selayer, train=self.train)(base)
+        else:
+            delta = PointNetRes(use_selayer=self.use_selayer, train=self.train)(base)
+        return base[..., :3] + delta, loss_mst
+
+
+class SpareNetGenerator(nn.Module):
+    """Full SpareNet: encode -> decode -> refine x2
+    (models/sparenet_generator.py:12-82).
+
+    __call__(partial [B, N_in, 3]) ->
+        (coarse, middle, refine [B, N, 3], loss_mst).
+    """
+
+    num_points: int = 16384
+    n_primitives: int = 32
+    bottleneck_size: int = 4096
+    hide_size: int = 4096
+    use_selayer: bool = False
+    use_adain: str = "share"
+    encode: str = "Pointfeat"
+    train: bool = True
+
+    def setup(self):
+        self.encoder = SpareNetEncode(
+            bottleneck_size=self.bottleneck_size,
+            hide_size=self.hide_size,
+            use_selayer=self.use_selayer,
+            encode=self.encode,
+            train=self.train,
+        )
+        self.decoder = SpareNetDecode(
+            num_points=self.num_points,
+            n_primitives=self.n_primitives,
+            bottleneck_size=self.bottleneck_size,
+            use_adain=self.use_adain,
+            use_selayer=self.use_selayer,
+            train=self.train,
+        )
+        self.refine = SpareNetRefine(
+            num_points=self.num_points,
+            n_primitives=self.n_primitives,
+            use_selayer=self.use_selayer,
+            train=self.train,
+        )
+
+    def __call__(self, partial):
+        style = self.encoder(partial)
+        coarse = self.decoder(style)
+        middle, loss_mst = self.refine(coarse, partial)
+        refine, _ = self.refine(middle, partial)
+        return coarse, middle, refine, loss_mst

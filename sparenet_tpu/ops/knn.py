@@ -1,0 +1,61 @@
+"""k-nearest-neighbor search and DGCNN-style edge features.
+
+TPU-native replacement for the external ``knn_cuda`` wheel and the
+``knn`` / ``get_graph_feature`` helpers
+(models/sparenet_generator.py:852-906). The pairwise-distance matrix is
+built tile-by-tile from MXU matmuls and immediately top-k-reduced, so the
+full [N, N] matrix is only materialized for small N.
+
+Convention: channel-LAST. Point features are [B, N, C]; edge features are
+[B, N, k, 2C] with the reference's channel order (x_j - x_i, x_i)
+(models/sparenet_generator.py:905).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .common import pairwise_sqdist, pick_chunk
+
+__all__ = ["knn_idx", "get_graph_feature"]
+
+
+def _knn_one(x: jnp.ndarray, y: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the k nearest rows of y [M,C] for each row of x [N,C]."""
+    n, m = x.shape[0], y.shape[0]
+    chunk = pick_chunk(n, m)
+    pad = (-n) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    tiles = xp.reshape(-1, chunk, x.shape[1])
+
+    def body(tile):
+        d = pairwise_sqdist(tile, y)
+        # top_k of negated distance == k smallest distances; ties resolve to
+        # the lower index, matching the reference's topk fallback
+        # (models/sparenet_generator.py:871-875).
+        _, idx = jax.lax.top_k(-d, k)
+        return idx
+
+    idx = jax.lax.map(body, tiles) if tiles.shape[0] > 1 else body(tiles[0])[None]
+    return idx.reshape(-1, k)[:n].astype(jnp.int32)
+
+
+def knn_idx(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Self-kNN indices for x [B, N, C] -> [B, N, k] (includes self)."""
+    return jax.vmap(lambda p: _knn_one(p, p, k))(x)
+
+
+def get_graph_feature(x: jnp.ndarray, k: int = 20, idx: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Edge features [B, N, k, 2C]: concat(x_j - x_i, x_i).
+
+    Parity: models/sparenet_generator.py:880-906 (which emits the
+    channel-first [B, 2C, N, k] layout; this is its channel-last analog).
+    """
+    if idx is None:
+        idx = knn_idx(x, k=k)
+    neighbors = jnp.take_along_axis(
+        x[:, :, None, :], idx[..., None], axis=1
+    )  # [B, N, k, C]
+    center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
+    return jnp.concatenate([neighbors - center, center], axis=-1)
