@@ -93,9 +93,9 @@ class GRNet(nn.Module):
         vol8_l = _ConvBlock(128, t)(vol16_l)
         vol4_l = _ConvBlock(256, t)(vol8_l)
 
-        flat = vol4_l.reshape(b, -1)                         # [B, 16384]
+        flat = vol4_l.reshape(b, -1)                         # [B, 16384] at scale 64
         feat = nn.relu(Linear(2048)(flat))
-        back = nn.relu(Linear(16384)(feat))
+        back = nn.relu(Linear(flat.shape[-1])(feat))
         vol4_r = back.reshape(vol4_l.shape) + vol4_l
 
         vol8_r = _DeconvBlock(128, t)(vol4_r) + vol8_l

@@ -1,0 +1,153 @@
+"""Model-zoo smoke tests: shapes, determinism, gradient flow.
+
+Tiny problem sizes; the architecture scales only through config fields.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparenet_tpu.models import (
+    AtlasNet, GRNet, MSN, SpareNetGenerator, PatchDiscriminator, ProjectionD,
+)
+
+B, N_IN, N_OUT, PRIMS = 2, 128, 256, 4
+
+
+def _init_apply(model, partial, rngs):
+    variables = model.init(rngs, partial)
+    return variables
+
+
+def test_atlasnet_shapes(rng):
+    partial = jnp.asarray(rng.rand(B, N_IN, 3), jnp.float32)
+    model = AtlasNet(num_points=N_OUT, bottleneck_size=64, n_primitives=PRIMS)
+    keys = {"params": jax.random.PRNGKey(0), "grid": jax.random.PRNGKey(1)}
+    variables = model.init(keys, partial)
+    out, updates = model.apply(
+        variables, partial, rngs={"grid": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    assert out.shape == (B, N_OUT, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert "batch_stats" in updates
+
+
+def test_msn_shapes(rng):
+    partial = jnp.asarray(rng.rand(B, N_IN, 3), jnp.float32)
+    model = MSN(num_points=N_OUT, bottleneck_size=64, n_primitives=PRIMS)
+    keys = {"params": jax.random.PRNGKey(0), "grid": jax.random.PRNGKey(1)}
+    variables = model.init(keys, partial)
+    (coarse, refine, loss_mst), _ = model.apply(
+        variables, partial, rngs={"grid": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    assert coarse.shape == (B, N_OUT, 3)
+    assert refine.shape == (B, N_OUT, 3)
+    assert float(loss_mst) >= 0
+
+
+@pytest.mark.parametrize("use_adain", ["share", "no_share", "no_use"])
+def test_sparenet_modes(rng, use_adain):
+    partial = jnp.asarray(rng.rand(B, N_IN, 3), jnp.float32)
+    model = SpareNetGenerator(
+        num_points=N_OUT, n_primitives=PRIMS, bottleneck_size=128,
+        hide_size=128, use_adain=use_adain, encode="Pointfeat",
+        use_selayer=True,
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, partial)
+    (coarse, middle, refine, loss_mst), _ = model.apply(
+        variables, partial, mutable=["batch_stats"]
+    )
+    assert coarse.shape == middle.shape == refine.shape == (B, N_OUT, 3)
+    assert np.isfinite(np.asarray(refine)).all()
+
+
+def test_sparenet_residualnet_encoder(rng):
+    partial = jnp.asarray(rng.rand(B, 64, 3), jnp.float32)
+    model = SpareNetGenerator(
+        num_points=N_OUT, n_primitives=PRIMS, bottleneck_size=128,
+        hide_size=128, use_adain="share", encode="Residualnet",
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, partial)
+    (coarse, middle, refine, _), _ = model.apply(
+        variables, partial, mutable=["batch_stats"]
+    )
+    assert refine.shape == (B, N_OUT, 3)
+
+
+def test_sparenet_grad_flows(rng):
+    partial = jnp.asarray(rng.rand(1, 64, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(1, N_OUT, 3), jnp.float32)
+    model = SpareNetGenerator(
+        num_points=N_OUT, n_primitives=PRIMS, bottleneck_size=64,
+        hide_size=64, use_adain="share", encode="Pointfeat",
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, partial)
+
+    def loss_fn(params):
+        (c, m, r, lm), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            partial, mutable=["batch_stats"],
+        )
+        return jnp.mean((r - gt) ** 2) + 0.1 * lm
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+    assert total > 0
+
+
+def test_grnet_shapes(rng):
+    partial = jnp.asarray(rng.rand(B, N_IN, 3) * 1.4 - 0.7, jnp.float32)
+    model = GRNet(n_sampling_points=64, gridding_scale=16)
+    keys = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = model.init(keys, partial)
+    (sparse, dense), _ = model.apply(
+        variables, partial, rngs={"sample": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    assert sparse.shape == (B, 64, 3)
+    assert dense.shape == (B, 512, 3)
+    assert np.isfinite(np.asarray(dense)).all()
+
+
+def test_patch_discriminator(rng):
+    img = jnp.asarray(rng.rand(B, 64, 64, 16), jnp.float32)
+    model = PatchDiscriminator()
+    variables = model.init({"params": jax.random.PRNGKey(0)}, img)
+    (validity, feats), _ = model.apply(
+        variables, img, feat=True, mutable=["batch_stats", "spectral"]
+    )
+    assert validity.shape == (B, 1)
+    assert len(feats) == 4
+    assert feats[0].shape == (B, 32, 32, 16)
+
+
+def test_projection_discriminator(rng):
+    img = jnp.asarray(rng.rand(B, 64, 64, 16), jnp.float32)
+    y = jnp.asarray([0, 3], jnp.int32)
+    model = ProjectionD(num_classes=8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        img, y=y,
+    )
+    validity, _ = model.apply(
+        variables, img, y=y,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats", "spectral"],
+    )
+    assert validity.shape == (B, 1)
+
+
+def test_spectral_norm_updates(rng):
+    """u must change across applications when update_stats=True."""
+    img = jnp.asarray(rng.rand(1, 32, 32, 4), jnp.float32)
+    model = PatchDiscriminator()
+    variables = model.init({"params": jax.random.PRNGKey(0)}, img)
+    _, upd = model.apply(variables, img, mutable=["batch_stats", "spectral"])
+    u0 = jax.tree_util.tree_leaves(variables["spectral"])[0]
+    u1 = jax.tree_util.tree_leaves(upd["spectral"])[0]
+    assert not np.allclose(np.asarray(u0), np.asarray(u1))
