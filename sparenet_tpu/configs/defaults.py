@@ -112,6 +112,7 @@ def default_config() -> AttrDict:
         mode="default",
         infer_freq=25,
         metric_name="EMD",  # 'EMD' or 'ChamferDistance'
+        batch_size=1,       # reference evals at 1; >1 keeps the TPU fed
     )
 
     cfg.DATASETS = _d(

@@ -1,0 +1,59 @@
+"""SPMD data parallelism over a 1-D device mesh.
+
+The reference replicates modules per GPU with torch.nn.DataParallel
+(runners/base_runner.py:100-104) and even wraps the CD/EMD loss modules
+(runners/sparenet_runner.py:30-34) so loss kernels run sharded. The
+TPU-native equivalent: ONE jitted train step whose batch inputs carry a
+``NamedSharding`` over the 'batch' mesh axis and whose parameters are
+replicated — XLA inserts the gradient psum over ICI, and every op inside
+the step (chamfer, EMD, MDS, the model) shards for free.
+
+Multi-host extends the same mesh across processes via
+``jax.distributed.initialize`` before calling ``get_mesh``.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+BATCH_AXIS = "batch"
+
+
+def get_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D batch mesh over the first n_devices (default: all)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (BATCH_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(BATCH_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of [B, ...] host arrays batch-sharded on the mesh.
+    Falls back to single-device placement when B doesn't divide the mesh
+    (e.g. the reference's batch-size-1 validation loop)."""
+    sh = batch_sharding(mesh)
+    n = mesh.devices.size
+
+    def put(x):
+        if x.ndim >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, sh)
+        return jax.device_put(x, mesh.devices.flat[0])
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params / train state) across the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

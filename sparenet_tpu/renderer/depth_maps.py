@@ -1,0 +1,164 @@
+"""Differentiable point-cloud -> depth-map renderer.
+
+TPU-native rebuild of utils/p2i_utils.py:12-252: eight fixed cube-corner
+views (look-at with up=(0,0,1)), orthographic (scale 1.5) or perspective
+(fovy pi/4) projection, z in [0.1, 10]; the depth feature is
+``1 - normalized z`` with min/max taken over the whole flattened batch
+(utils/p2i_utils.py:226); splatting via the p2i max-reduce op.
+
+TPU design note: ``render_all_views`` renders every view in ONE p2i call
+(views folded into the batch axis) instead of the reference's 8
+sequential renderer invocations (runners/sparenet_gan_runner.py:215-225)
+— same math, 8x bigger and better-utilized scatter.
+
+Images are channel-last [B, H, W, C].
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.p2i import p2i_max
+
+N_VIEWS_PREDEFINED = 8
+
+_EYES = np.array(
+    [[-1, -1, -1], [-1, -1, 1], [-1, 1, -1], [-1, 1, 1],
+     [1, -1, -1], [1, -1, 1], [1, 1, -1], [1, 1, 1]], np.float32
+)
+
+
+def _normalize(v, axis=-1, eps=1e-6):
+    n = np.linalg.norm(v, axis=axis, keepdims=True)
+    return v / np.maximum(n, eps)
+
+
+def look_at(eye: np.ndarray, center: np.ndarray, up: np.ndarray) -> np.ndarray:
+    """4x4 view matrix (utils/p2i_utils.py:17-84): translate eye to origin,
+    rotate so -forward -> +z."""
+    zaxis = _normalize(eye - center)
+    xaxis = _normalize(np.cross(up, zaxis))
+    yaxis = np.cross(zaxis, xaxis)
+    orientation = np.eye(4, dtype=np.float32)
+    orientation[0, :3] = xaxis
+    orientation[1, :3] = yaxis
+    orientation[2, :3] = zaxis
+    translation = np.eye(4, dtype=np.float32)
+    translation[:3, 3] = -eye
+    return orientation @ translation
+
+
+def perspective(fovy: float, aspect: float, z_near: float, z_far: float) -> np.ndarray:
+    """Right-handed perspective projection (utils/p2i_utils.py:87-121)."""
+    t = math.tan(fovy / 2.0)
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = 1.0 / (aspect * t)
+    m[1, 1] = 1.0 / t
+    m[2, 2] = -(z_far + z_near) / (z_far - z_near)
+    m[2, 3] = -2.0 * z_far * z_near / (z_far - z_near)
+    m[3, 2] = -1.0
+    return m
+
+
+def orthorgonal(scalex: float, scaley: float, z_near: float, z_far: float) -> np.ndarray:
+    """Orthographic projection (utils/p2i_utils.py:124-150); reference
+    spelling kept for API parity."""
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = scalex
+    m[1, 1] = scaley
+    m[2, 2] = -2.0 / (z_far - z_near)
+    m[2, 3] = (z_far + z_near) / (z_far - z_near)
+    m[3, 3] = 1.0
+    return m
+
+
+def transform_points(matrix: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Apply a 4x4 matrix to [..., 3] points with perspective divide
+    (utils/p2i_utils.py:153-165)."""
+    ones = jnp.ones(points.shape[:-1] + (1,), points.dtype)
+    hom = jnp.concatenate([points, ones], axis=-1)
+    out = hom @ matrix.T
+    return out[..., :3] / out[..., 3:4]
+
+
+class ComputeDepthMaps:
+    """Stateless renderer (reference module: utils/p2i_utils.py:168-252).
+
+    Precomputes the 8 projection@view matrices; __call__ renders one view,
+    ``render_all_views`` renders all 8 in a single fused splat.
+    """
+
+    def __init__(self, projection: str = "orthorgonal",
+                 eyepos_scale: float = 1.0, image_size: int = 256):
+        assert projection in {"perspective", "orthorgonal"}
+        self.image_size = image_size
+        self.num_views = N_VIEWS_PREDEFINED
+        if projection == "perspective":
+            proj = perspective(math.pi / 4, 1.0, 0.1, 10.0)
+        else:
+            proj = orthorgonal(1.5, 1.5, 0.1, 10.0)
+        mats = []
+        for eye in _EYES:
+            view = look_at(eye * eyepos_scale, np.zeros(3, np.float32),
+                           np.array([0, 0, 1], np.float32))
+            mats.append(proj @ view)
+        self.matrices = jnp.asarray(np.stack(mats))          # [8, 4, 4]
+
+    def _splat(self, pos_ij, point_features, batch_inds, n_images,
+               radius_list):
+        h = w = self.image_size
+        maps = []
+        for radius in radius_list:
+            background = jnp.zeros((n_images, h, w, 1), pos_ij.dtype)
+            maps.append(
+                p2i_max(pos_ij, point_features, batch_inds, background,
+                        float(radius))
+            )
+        return jnp.concatenate(maps, axis=-1)                # [n, H, W, R]
+
+    def _project(self, data, matrix):
+        """data [B, N, 3] -> (pixel (y, x) coords [B*N, 2], depth feature
+        [B*N, 1]). Depth min/max is over the whole batch
+        (utils/p2i_utils.py:226)."""
+        trans = transform_points(matrix, data)               # [B, N, 3]
+        xs, ys, zs = trans[..., 0], trans[..., 1], trans[..., 2]
+        # image rows run top->bottom: negate y (utils/p2i_utils.py:225)
+        ij = jnp.stack([-ys, xs], axis=-1)
+        scale = (self.image_size - 1) / 2.0
+        pix = (ij + 1.0) * scale
+        feat = 1.0 - (zs - zs.min()) / (zs.max() - zs.min())
+        return pix.reshape(-1, 2), feat.reshape(-1, 1)
+
+    def __call__(self, data, view_id: int = 0, radius_list=(10.0,)):
+        """data [B, N, 3] -> depth maps [B, H, W, len(radius_list)]."""
+        b, n, _ = data.shape
+        pix, feat = self._project(data, self.matrices[view_id])
+        binds = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+        return self._splat(pix, feat, binds, b, radius_list)
+
+    def render_all_views(self, data, radius_list=(10.0,)):
+        """data [B, N, 3] -> [B, H, W, V * len(radius_list)] — all 8 views
+        in one p2i call, channel order (view, radius) to match the GAN
+        runner's per-view channel concat
+        (runners/sparenet_gan_runner.py:227-241)."""
+        b, n, _ = data.shape
+        v = self.num_views
+
+        def project_one(matrix):
+            return self._project(data, matrix)
+
+        pix, feat = jax.vmap(project_one)(self.matrices)     # [V, B*N, *]
+        binds = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+        binds = (binds[None, :] * v + jnp.arange(v, dtype=jnp.int32)[:, None])
+        maps = self._splat(
+            pix.reshape(-1, 2), feat.reshape(-1, 1), binds.reshape(-1),
+            b * v, radius_list,
+        )                                                    # [B*V, H, W, R]
+        h = w = self.image_size
+        maps = maps.reshape(b, v, h, w, -1)
+        maps = jnp.transpose(maps, (0, 2, 3, 1, 4))
+        return maps.reshape(b, h, w, -1)
