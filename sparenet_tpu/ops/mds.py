@@ -58,11 +58,19 @@ def _mds_one(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray) -> jnp
 
 
 def minimum_density_sample(xyz: jnp.ndarray, npoint: int,
-                           mean_mst_length: jnp.ndarray) -> jnp.ndarray:
+                           mean_mst_length: jnp.ndarray,
+                           impl: str = "auto") -> jnp.ndarray:
     """xyz [B, N, 3], mean_mst_length [B] -> idx [B, npoint] int32.
 
     Parity: MinimumDensitySampling (MDS_module.py:8-41); non-differentiable.
+    On TPU backends the greedy loop runs as a VMEM-resident Pallas kernel
+    (ops/pallas/mds_pallas.py); elsewhere as a fori_loop.
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+    if impl == "pallas":
+        from .pallas.mds_pallas import mds_pallas
+        return mds_pallas(xyz, npoint, mean_mst_length)
     idx = jax.vmap(lambda p, m: _mds_one(p, npoint, m))(xyz, mean_mst_length)
     return jax.lax.stop_gradient(idx)
 
