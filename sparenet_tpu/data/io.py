@@ -101,6 +101,13 @@ class IO:
         if ext == ".npy":
             return np.load(file_path)
         if ext == ".pcd":
+            try:
+                from ..native import read_pcd_native
+                arr = read_pcd_native(file_path)
+                if arr is not None:
+                    return arr.astype(np.float64)
+            except Exception:
+                pass
             return read_pcd(file_path)
         if ext == ".h5":
             if h5py is None:
