@@ -43,12 +43,16 @@ def shard_batch(mesh: Mesh, batch):
     Falls back to single-device placement when B doesn't divide the mesh
     (e.g. the reference's batch-size-1 validation loop)."""
     sh = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
     n = mesh.devices.size
 
     def put(x):
         if x.ndim >= 1 and x.shape[0] % n == 0:
             return jax.device_put(x, sh)
-        return jax.device_put(x, mesh.devices.flat[0])
+        # indivisible batch (e.g. the reference's batch-1 validation):
+        # replicate — every device computes the same thing, results agree
+        # with the single-device semantics.
+        return jax.device_put(x, rep)
 
     return jax.tree_util.tree_map(put, batch)
 
