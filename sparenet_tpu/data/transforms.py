@@ -32,6 +32,99 @@ class ToArray:
         return np.ascontiguousarray(arr, dtype=np.float32)
 
 
+class Normalize:
+    """Image normalize: /std then -mean, in that (reference) order
+    (datasets/data_transforms.py:58-68)."""
+
+    def __init__(self, parameters):
+        self.mean = parameters["mean"]
+        self.std = parameters["std"]
+
+    def __call__(self, arr):
+        arr = arr.astype(np.float32)
+        return arr / self.std - self.mean
+
+
+def _crop_resize(img, y_top, y_bottom, x_left, x_right, out_h, out_w):
+    import cv2
+    img = cv2.resize(
+        img[int(y_top):int(y_bottom), int(x_left):int(x_right)],
+        (out_w, out_h))
+    return img[..., np.newaxis] if img.ndim == 2 else img
+
+
+class CenterCrop:
+    """(datasets/data_transforms.py:71-92)."""
+
+    def __init__(self, parameters):
+        self.img_size = parameters["img_size"]
+        self.crop_size = parameters["crop_size"]
+
+    def __call__(self, img):
+        img_w, img_h = img.shape[0], img.shape[1]
+        x_left = (img_w - self.crop_size[1]) * 0.5
+        y_top = (img_h - self.crop_size[0]) * 0.5
+        return _crop_resize(img, y_top, y_top + self.crop_size[0],
+                            x_left, x_left + self.crop_size[1],
+                            self.img_size[0], self.img_size[1])
+
+
+class RandomCrop:
+    """(datasets/data_transforms.py:95-116)."""
+
+    def __init__(self, parameters):
+        self.img_size = parameters["img_size"]
+        self.crop_size = parameters["crop_size"]
+
+    def __call__(self, img, rnd_value):
+        img_w, img_h = img.shape[0], img.shape[1]
+        x_left = (img_w - self.crop_size[1]) * rnd_value
+        y_top = (img_h - self.crop_size[0]) * rnd_value
+        return _crop_resize(img, y_top, y_top + self.crop_size[0],
+                            x_left, x_left + self.crop_size[1],
+                            self.img_size[0], self.img_size[1])
+
+
+class RandomFlip:
+    """Horizontal flip at rnd > 0.5 (datasets/data_transforms.py:119-127)."""
+
+    def __init__(self, parameters=None):
+        pass
+
+    def __call__(self, img, rnd_value):
+        return np.fliplr(img) if rnd_value > 0.5 else img
+
+
+class RandomPermuteRGB:
+    """(datasets/data_transforms.py:130-136)."""
+
+    def __init__(self, parameters=None):
+        pass
+
+    def __call__(self, img):
+        return img[..., np.random.permutation(3)]
+
+
+class RandomBackground:
+    """Composite RGBA onto a random background color
+    (datasets/data_transforms.py:139-159)."""
+
+    def __init__(self, parameters):
+        self.random_bg_color_range = parameters["bg_color"]
+
+    def __call__(self, img):
+        if img.shape[2] != 4:
+            return img
+        r, g, b = [
+            np.random.randint(lo, hi + 1)
+            for lo, hi in self.random_bg_color_range
+        ]
+        alpha = (np.expand_dims(img[:, :, 3], axis=2) == 0).astype(np.float32)
+        rgb = img[:, :, :3]
+        bg_color = np.array([[[r, g, b]]]) / 255.0
+        return alpha * bg_color + (1 - alpha) * rgb
+
+
 class RandomSamplePoints:
     """Random permutation + truncate to n_points, zero-pad if short
     (datasets/data_transforms.py:162-174)."""
@@ -147,6 +240,12 @@ class NormalizeObjectPose:
 
 
 TRANSFORM_REGISTRY = {
+    "Normalize": Normalize,
+    "CenterCrop": CenterCrop,
+    "RandomCrop": RandomCrop,
+    "RandomFlip": RandomFlip,
+    "RandomPermuteRGB": RandomPermuteRGB,
+    "RandomBackground": RandomBackground,
     "RandomSamplePoints": RandomSamplePoints,
     "RandomClipPoints": RandomClipPoints,
     "RandomRotatePoints": RandomRotatePoints,
@@ -157,7 +256,8 @@ TRANSFORM_REGISTRY = {
     "ToArray": ToArray,
 }
 
-_SHARED_RND = (RandomRotatePoints, RandomScalePoints, RandomMirrorPoints)
+_SHARED_RND = (RandomCrop, RandomFlip, RandomRotatePoints,
+               RandomScalePoints, RandomMirrorPoints)
 
 
 class Compose:

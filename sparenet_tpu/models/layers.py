@@ -94,15 +94,21 @@ def adaptive_instance_norm(x: jnp.ndarray, weight: jnp.ndarray,
     return xn * weight[:, None, :] + bias[:, None, :]
 
 
-def grid_decoder_adain_sizes(bottleneck_size: int) -> tuple[int, ...]:
-    """Per-layer AdaIN feature counts of GridDecoder, in module order
-    (models/sparenet_generator.py:1028-1030)."""
-    return (bottleneck_size, bottleneck_size // 2, bottleneck_size // 4)
+def grid_decoder_adain_sizes(bottleneck_size: int,
+                             use_sine: bool = False) -> tuple[int, ...]:
+    """Per-layer AdaIN feature counts of GridDecoder, in module
+    registration order (models/sparenet_generator.py:1028-1030; SIREN
+    variant registers four SineLayer AdaINs first, :996-1020)."""
+    b = bottleneck_size
+    if use_sine:
+        # 4 SineLayer adains, then the (unused in sine forward) adain1-3
+        return (b, b // 2, b // 4, b // 4, b, b // 2, b // 4)
+    return (b, b // 2, b // 4)
 
 
-def num_adain_params(bottleneck_size: int) -> int:
+def num_adain_params(bottleneck_size: int, use_sine: bool = False) -> int:
     """get_num_adain_params parity (models/sparenet_generator.py:815-828)."""
-    return 2 * sum(grid_decoder_adain_sizes(bottleneck_size))
+    return 2 * sum(grid_decoder_adain_sizes(bottleneck_size, use_sine))
 
 
 def split_adain_params(params: jnp.ndarray, sizes: Sequence[int]):
@@ -255,24 +261,60 @@ class PointGenCon(nn.Module):
         return jnp.tanh(x)
 
 
+def _siren_init(in_features: int, omega_0: float, is_first: bool):
+    """SineLayer weight init (models/sparenet_generator.py:1091-1106)."""
+    if is_first:
+        bound = 1.0 / in_features
+    else:
+        bound = np.sqrt(6.0 / in_features) / omega_0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class GridDecoder(nn.Module):
     """AdaIN-modulated folding decoder
     (models/sparenet_generator.py:962-1062).
 
     x [B, S, input_dim], adain_params [B, num_adain_params] ->
-    [B, S, 3]. Layer order per stage: conv -> AdaIN -> BN -> (SE) -> relu;
-    final conv + tanh.
+    [B, S, 3]. Default: conv -> AdaIN -> BN -> (SE) -> relu per stage;
+    final conv + tanh. With ``use_sine``: 4 SIREN layers
+    sin(adain(omega * linear(x))) + a specially-initialized output conv
+    (models/sparenet_generator.py:993-1026,1044-1051); the reference's
+    adain1-3 still consume style parameters in that mode (they are
+    registered but unused by the sine forward — sizing preserved by
+    grid_decoder_adain_sizes).
     """
 
     bottleneck_size: int = 1026
     use_selayer: bool = False
+    use_sine: bool = False
     train: bool = True
 
     @nn.compact
     def __call__(self, x, adain_params):
         train = self.train
-        sizes = grid_decoder_adain_sizes(self.bottleneck_size)
+        bsz = self.bottleneck_size
+        sizes = grid_decoder_adain_sizes(bsz, self.use_sine)
         style = split_adain_params(adain_params, sizes)
+
+        if self.use_sine:
+            omega = 30.0
+            widths = (bsz, bsz // 2, bsz // 4, bsz // 4)
+            for li, (ch, (w, b)) in enumerate(zip(widths, style[:4])):
+                dense = nn.Dense(
+                    ch, kernel_init=_siren_init(x.shape[-1], omega, li == 0))
+                x = jnp.sin(adaptive_instance_norm(omega * dense(x), w, b))
+            out_bound = float(np.sqrt(6.0 / bsz) / omega)
+
+            def out_init(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype,
+                                          -out_bound, out_bound)
+
+            return nn.Dense(3, kernel_init=out_init)(x)
+
         for (ch, (w, b)) in zip(sizes, style):
             x = Conv1d(ch)(x)
             x = adaptive_instance_norm(x, w, b)
