@@ -154,7 +154,19 @@ class BaseRunner:
     def _put_batch(self, data):
         return shard_batch(self.mesh, data)
 
+    def check_finite(self):
+        """Fail-fast failure detection: a non-finite loss aborts the run
+        with actionable context (the last good checkpoint resumes it)."""
+        bad = [k for k, v in self.loss.items() if not np.isfinite(v)]
+        if bad:
+            raise FloatingPointError(
+                f"non-finite training loss {bad} at epoch {self.epoch_idx} "
+                f"batch {self.batch_idx}; resume from the last checkpoint in "
+                f"{self.config.DIR.checkpoints} with a lower learning rate"
+            )
+
     def save_item_train_info(self):
+        self.check_finite()
         n_itr = (self.epoch_idx - 1) * self.n_batches + self.batch_idx
         if self.batch_idx % self.config.TRAIN.log_freq == 0:
             for k, v in self.loss.items():
