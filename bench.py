@@ -8,9 +8,10 @@ MDS resample + residual net).
 
 Prints ONE JSON line:
   {"metric": "sparenet_inference", "value": clouds_per_sec,
-   "unit": "clouds/sec/chip", "vs_baseline": value / 2000}
-(vs_baseline: driver target is 2000 completed clouds/sec/chip on v5e,
-/root/repo/BASELINE.json "north_star".)
+   "unit": "clouds/sec/chip", "vs_baseline": value / 250}
+(vs_baseline: the driver north star is ">= 2000 completed 16384-pt
+clouds/sec on v5e-8" (/root/repo/BASELINE.json) — an 8-chip pod, i.e.
+250 clouds/sec/chip; data parallelism over the pod is linear in chips.)
 """
 
 from __future__ import annotations
@@ -48,25 +49,26 @@ def main():
     @jax.jit
     def forward(variables, partial):
         coarse, middle, refine, _ = model.apply(variables, partial)
-        return refine
+        # scalar checksum: forces full materialization through the device
+        # tunnel without a bulk transfer
+        return jnp.sum(refine)
 
-    out = forward(variables, partial)
-    out.block_until_ready()
+    float(forward(variables, partial))
     for _ in range(warmup - 1):
-        forward(variables, partial).block_until_ready()
+        float(forward(variables, partial))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(variables, partial)
-    out.block_until_ready()
+        s = float(forward(variables, partial))
     dt = time.perf_counter() - t0
+    assert np.isfinite(s)
 
     clouds_per_sec = batch * iters / dt
     result = {
         "metric": "sparenet_inference",
         "value": round(clouds_per_sec, 2),
         "unit": "clouds/sec/chip",
-        "vs_baseline": round(clouds_per_sec / 2000.0, 4),
+        "vs_baseline": round(clouds_per_sec / 250.0, 4),
     }
     print(json.dumps(result))
 

@@ -86,46 +86,49 @@ def mst_parents(xyz: jnp.ndarray, primitive_size: int, impl: str = "auto"):
 def _prune_edges(parent: jnp.ndarray, cost: jnp.ndarray, s: int):
     """Parallel leaf pruning on the parent-pointer edge list.
 
-    Edge v (v = 1..S-1) connects v to parent[v]. Returns charged [BP, S-1]
+    Edge u (u = 1..S-1) connects u to parent[u]. Returns charged [BP, S-1]
     int32: the endpoint each edge is charged to. Round semantics follow
     expansion_penalty_cuda.cu:123-146.
+
+    TPU design: per round the vertex degrees come from one batched
+    matvec against a hoisted one-hot(parent) tensor (MXU work, no
+    scatters); the parent-side degree is a take_along_axis gather.
     """
     bp = parent.shape[0]
     eu = jnp.broadcast_to(jnp.arange(1, s, dtype=jnp.int32), (bp, s - 1))
     ev = parent[:, 1:]
 
-    def one(eu_r, ev_r):
-        def degree(alive):
-            w = alive.astype(jnp.int32)
-            deg = jnp.zeros((s,), jnp.int32)
-            deg = deg.at[eu_r].add(w)
-            deg = deg.at[ev_r].add(w)
-            return deg
+    # one-hot child map, hoisted out of the round loop: P[b, e, v] = 1
+    # iff parent of edge-vertex e+1 is v.
+    p_onehot = jax.nn.one_hot(ev, s, dtype=jnp.bfloat16)     # [BP, S-1, S]
 
-        def cond(carry):
-            alive, charged = carry
-            return jnp.any(alive)
+    def cond(carry):
+        alive, charged = carry
+        return jnp.any(alive)
 
-        def body(carry):
-            alive, charged = carry
-            deg = degree(alive)
-            u_leaf = alive & (deg[eu_r] == 1)
-            v_leaf = alive & (deg[ev_r] == 1)
-            kill = u_leaf | v_leaf
-            both = u_leaf & v_leaf
-            chosen = jnp.where(
-                both, jnp.maximum(eu_r, ev_r),
-                jnp.where(u_leaf, eu_r, ev_r))
-            charged = jnp.where(kill, chosen, charged)
-            alive = alive & ~kill
-            return alive, charged
+    def body(carry):
+        alive, charged = carry
+        aw = alive.astype(jnp.bfloat16)
+        # child-edge count per vertex + own-edge contribution
+        child = jnp.einsum(
+            "be,bev->bv", aw, p_onehot,
+            preferred_element_type=jnp.float32)              # [BP, S]
+        own = jnp.pad(aw.astype(jnp.float32), ((0, 0), (1, 0)))
+        deg = (child + own).astype(jnp.int32)
+        u_leaf = alive & (jnp.take_along_axis(deg, eu, 1) == 1)
+        v_leaf = alive & (jnp.take_along_axis(deg, ev, 1) == 1)
+        kill = u_leaf | v_leaf
+        both = u_leaf & v_leaf
+        chosen = jnp.where(
+            both, jnp.maximum(eu, ev), jnp.where(u_leaf, eu, ev))
+        charged = jnp.where(kill, chosen, charged)
+        alive = alive & ~kill
+        return alive, charged
 
-        alive0 = jnp.ones((s - 1,), bool)
-        charged0 = jnp.zeros((s - 1,), jnp.int32)
-        _, charged = jax.lax.while_loop(cond, body, (alive0, charged0))
-        return charged
-
-    return jax.vmap(one)(eu, ev)
+    alive0 = jnp.ones((bp, s - 1), bool)
+    charged0 = jnp.zeros((bp, s - 1), jnp.int32)
+    _, charged = jax.lax.while_loop(cond, body, (alive0, charged0))
+    return charged
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

@@ -21,21 +21,34 @@ from .common import pairwise_sqdist, pick_chunk
 __all__ = ["knn_idx", "get_graph_feature"]
 
 
+def _smallest_k(d: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the k smallest entries per row of d [N, M], ascending.
+
+    k iterative masked argmins: ~2x faster than lax.top_k on TPU for the
+    small k (8) used by the EdgeConv graphs, with the same lowest-index
+    tie-breaking as the reference's topk fallback
+    (models/sparenet_generator.py:871-875).
+    """
+    m = d.shape[-1]
+    lane = jnp.arange(m)
+    idxs = []
+    for _ in range(k):
+        i = jnp.argmin(d, axis=-1)
+        idxs.append(i)
+        d = jnp.where(lane[None, :] == i[:, None], jnp.inf, d)
+    return jnp.stack(idxs, axis=-1)
+
+
 def _knn_one(x: jnp.ndarray, y: jnp.ndarray, k: int) -> jnp.ndarray:
     """Indices of the k nearest rows of y [M,C] for each row of x [N,C]."""
     n, m = x.shape[0], y.shape[0]
-    chunk = pick_chunk(n, m)
+    chunk = pick_chunk(n, m, budget_elems=1 << 24)
     pad = (-n) % chunk
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     tiles = xp.reshape(-1, chunk, x.shape[1])
 
     def body(tile):
-        d = pairwise_sqdist(tile, y)
-        # top_k of negated distance == k smallest distances; ties resolve to
-        # the lower index, matching the reference's topk fallback
-        # (models/sparenet_generator.py:871-875).
-        _, idx = jax.lax.top_k(-d, k)
-        return idx
+        return _smallest_k(pairwise_sqdist(tile, y), k)
 
     idx = jax.lax.map(body, tiles) if tiles.shape[0] > 1 else body(tiles[0])[None]
     return idx.reshape(-1, k)[:n].astype(jnp.int32)
