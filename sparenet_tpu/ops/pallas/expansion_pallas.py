@@ -84,8 +84,11 @@ def mst_parents_pallas(xyz: jnp.ndarray, primitive_size: int,
     xyz_t = jnp.moveaxis(xyz, -1, 0)
     xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, s_pad - s)))
 
+    # budget accounts for Mosaic's double-buffered in/out blocks on top
+    # of the scratches: keep the live block set well under the 16 MB
+    # scoped-vmem limit.
     r = bp
-    while r > 8 and 6 * r * s_pad * 4 > 8 * 1024 * 1024:
+    while r > 8 and 6 * r * s_pad * 4 > 4 * 1024 * 1024:
         r //= 2
     while bp % r:
         r -= 1

@@ -85,9 +85,10 @@ def mds_pallas(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
     t = (5.0 * mean_mst_length * mean_mst_length)[:, None]  # [B, 1]
 
     # row block: whole batch in one program while VMEM allows; budget
-    # ~5 live [R, N] f32 tiles under 10 MB.
+    # ~5 live [R, N] f32 tiles (plus Mosaic's double-buffered in/out
+    # blocks) well under the 16 MB scoped-vmem limit.
     r = b
-    while r > 1 and 5 * r * n_pad * 4 > 10 * 1024 * 1024:
+    while r > 1 and 5 * r * n_pad * 4 > 6 * 1024 * 1024:
         r //= 2
     while b % r:
         r -= 1
