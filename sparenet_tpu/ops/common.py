@@ -2,8 +2,32 @@
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Matmul precision for pairwise-distance kernels. HIGHEST gives fp32-
+# accurate distances (CUDA-reference parity for argmin/top-k picks);
+# HIGH/DEFAULT trade ulp-level neighbor ties for substantial MXU speed
+# (the kNN graph and chamfer argmins are robust to near-tie flips).
+# Metrics (CD/EMD values) recompute distances from gathered points in
+# full f32 regardless, so reported numbers keep fp32 parity.
+_PREC = {
+    "HIGHEST": jax.lax.Precision.HIGHEST,
+    "HIGH": jax.lax.Precision.HIGH,
+    "DEFAULT": jax.lax.Precision.DEFAULT,
+}
+DISTANCE_PRECISION = _PREC[
+    os.environ.get("SPARENET_DISTANCE_PRECISION", "HIGHEST").upper()
+]
+
+
+def set_distance_precision(name: str) -> None:
+    """Set the pairwise-distance matmul precision ('HIGHEST' | 'HIGH' |
+    'DEFAULT'). Takes effect for subsequently traced computations."""
+    global DISTANCE_PRECISION
+    DISTANCE_PRECISION = _PREC[name.upper()]
 
 
 def cdiv(a: int, b: int) -> int:
@@ -29,12 +53,10 @@ def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)          # [N, 1]
     y2 = jnp.sum(y * y, axis=-1)                          # [M]
-    # HIGHEST precision: fp32-accurate MXU passes, required for argmin /
-    # top-k parity with the fp32 CUDA reference.
     d = x2 + y2[None, :] - 2.0 * jax.lax.dot_general(
         x, y,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=DISTANCE_PRECISION,
     )
     return jnp.maximum(d, 0.0)

@@ -141,15 +141,24 @@ def expansion_penalty(xyz: jnp.ndarray, primitive_size: int, alpha: float):
     return _expansion_fwd_impl(xyz, primitive_size, alpha)[0]
 
 
-def _expansion_fwd_impl(xyz, primitive_size, alpha):
+def _expansion_fwd_impl(xyz, primitive_size, alpha, impl: str = "auto"):
     b, n, _ = xyz.shape
     s = primitive_size
     n_prim = n // s
     prims = xyz.reshape(b * n_prim, s, 3)
 
-    parent, ec_full = mst_parents(prims, s)                 # [BP, S] each
-    ec = ec_full[:, 1:]                                     # [BP, S-1]
-    charged = _prune_edges(parent, ec_full, s)              # [BP, S-1]
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+    if impl == "pallas":
+        # fused kernel: MST + tree-DP charge assignment, all VMEM-resident
+        from .pallas.expansion_pallas import expansion_pallas
+        parent, ec_full, charged_full = expansion_pallas(prims, s)
+        ec = ec_full[:, 1:]
+        charged = charged_full[:, 1:]
+    else:
+        parent, ec_full = _mst_parents_xla(prims)           # [BP, S] each
+        ec = ec_full[:, 1:]                                 # [BP, S-1]
+        charged = _prune_edges(parent, ec_full, s)          # [BP, S-1]
 
     mean_dis = jnp.sum(ec, axis=-1) / (s - 1)               # [BP]
     over = ec > alpha * mean_dis[:, None]                   # [BP, S-1]

@@ -39,3 +39,18 @@ def test_mst_pallas_matches_xla(rng):
     p_pal, c_pal = mst_parents_pallas(x, 64, interpret=True)
     np.testing.assert_array_equal(np.asarray(p_pal), np.asarray(p_ref))
     np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_ref), atol=1e-6)
+
+
+def test_charge_tree_dp_matches_round_simulation(rng):
+    """The closed-form tree-DP charge assignment must equal the
+    reference's round-parallel leaf-pruning semantics exactly."""
+    from sparenet_tpu.ops.expansion_penalty import _prune_edges
+    from sparenet_tpu.ops.pallas.expansion_pallas import expansion_pallas
+
+    for bp, s in ((8, 32), (2, 200)):
+        x = jnp.asarray(rng.rand(bp, s, 3), jnp.float32)
+        p_pal, c_pal, charged_pal = expansion_pallas(x, s, interpret=True)
+        p_ref, c_ref = _mst_parents_xla(x)
+        charged_ref = _prune_edges(p_ref, c_ref, s)
+        np.testing.assert_array_equal(
+            np.asarray(charged_pal)[:, 1:], np.asarray(charged_ref))
