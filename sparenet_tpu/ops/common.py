@@ -18,8 +18,14 @@ _PREC = {
     "HIGH": jax.lax.Precision.HIGH,
     "DEFAULT": jax.lax.Precision.DEFAULT,
 }
+
+# SPARENET_FAST_MATH=1: serving-mode speed knob — bf16-class distance
+# matmuls and bf16 MDS coordinates. Parity mode (default) keeps fp32.
+FAST_MATH = os.environ.get("SPARENET_FAST_MATH", "0") == "1"
+
 DISTANCE_PRECISION = _PREC[
-    os.environ.get("SPARENET_DISTANCE_PRECISION", "HIGHEST").upper()
+    os.environ.get("SPARENET_DISTANCE_PRECISION",
+                   "DEFAULT" if FAST_MATH else "HIGHEST").upper()
 ]
 
 
@@ -28,6 +34,13 @@ def set_distance_precision(name: str) -> None:
     'DEFAULT'). Takes effect for subsequently traced computations."""
     global DISTANCE_PRECISION
     DISTANCE_PRECISION = _PREC[name.upper()]
+
+
+def set_fast_math(on: bool = True) -> None:
+    """Toggle serving-mode fast math (distance precision + MDS coords)."""
+    global FAST_MATH
+    FAST_MATH = bool(on)
+    set_distance_precision("DEFAULT" if on else "HIGHEST")
 
 
 def cdiv(a: int, b: int) -> int:

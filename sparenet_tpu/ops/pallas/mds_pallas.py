@@ -41,7 +41,7 @@ def _mds_kernel(npoint: int, n_valid: int,
     x = xyz_ref[0]
     y = xyz_ref[1]
     z = xyz_ref[2]
-    t = t_ref[:]                                            # [R, 1]
+    t = t_ref[:].astype(jnp.float32)                        # [R, 1]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
     # padding lanes never win the argmin; heavy lanes get 2x weight
@@ -58,13 +58,13 @@ def _mds_kernel(npoint: int, n_valid: int,
         dx = x - last_x
         dy = y - last_y
         dz = z - last_z
-        d2 = dx * dx + dy * dy + dz * dz
+        d2 = (dx * dx + dy * dy + dz * dz).astype(jnp.float32)
         temp = temp_scratch[:] + weight * jnp.exp(-d2 / t)
         nxt = jnp.argmin(temp, axis=1).astype(jnp.int32)    # [R]
         sel = lane == nxt[:, None]
         temp_scratch[:] = jnp.where(sel, jnp.float32(_BIG), temp)
         step_ref[:] = jnp.where(sel, j, step_ref[:])
-        selF = sel.astype(jnp.float32)
+        selF = sel.astype(x.dtype)
         nx = jnp.sum(x * selF, axis=1, keepdims=True)
         ny = jnp.sum(y * selF, axis=1, keepdims=True)
         nz = jnp.sum(z * selF, axis=1, keepdims=True)
@@ -78,10 +78,16 @@ def _mds_kernel(npoint: int, n_valid: int,
 def mds_pallas(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
                interpret: bool = False) -> jnp.ndarray:
     """xyz [B, N, 3], mean_mst_length [B] -> idx [B, npoint] int32."""
+    from ..common import FAST_MATH
+
     b, n, _ = xyz.shape
     n_pad = -(-n // 128) * 128
     xyz_t = jnp.moveaxis(xyz, -1, 0)                        # [3, B, N]
     xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - n)))
+    if FAST_MATH:
+        # serving mode: bf16 coordinates halve the per-step VPU traffic;
+        # density accumulation stays f32
+        xyz_t = xyz_t.astype(jnp.bfloat16)
     t = (5.0 * mean_mst_length * mean_mst_length)[:, None]  # [B, 1]
 
     # row block: whole batch in one program while VMEM allows; budget
