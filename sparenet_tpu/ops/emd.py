@@ -51,8 +51,14 @@ def _round_bids(xyz1, xyz2, price, unassigned):
     def body(tl):
         d = jnp.sqrt(pairwise_sqdist(tl, xyz2))
         v = 3.0 - d - price[None, :]
-        top2, idx2 = jax.lax.top_k(v, 2)
-        return top2[:, 0], top2[:, 1], idx2[:, 0]
+        # top-2 via two masked max passes (faster than lax.top_k on TPU;
+        # first-occurrence argmax matches the CUDA scan order)
+        best_i = jnp.argmax(v, axis=-1)
+        best = jnp.take_along_axis(v, best_i[:, None], -1)[:, 0]
+        lane2 = jnp.arange(v.shape[-1])
+        v2 = jnp.where(lane2[None, :] == best_i[:, None], -jnp.inf, v)
+        better = jnp.max(v2, axis=-1)
+        return best, better, best_i
 
     if tiles.shape[0] > 1:
         best, better, best_i = jax.lax.map(body, tiles)

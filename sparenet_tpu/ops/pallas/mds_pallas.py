@@ -80,6 +80,11 @@ def mds_pallas(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
     """xyz [B, N, 3], mean_mst_length [B] -> idx [B, npoint] int32."""
     from ..common import FAST_MATH
 
+    # index computation is non-differentiable (MDS_module.py:35); stop
+    # gradients at the inputs so autodiff never traces into the kernel
+    xyz = jax.lax.stop_gradient(xyz)
+    mean_mst_length = jax.lax.stop_gradient(mean_mst_length)
+
     b, n, _ = xyz.shape
     n_pad = -(-n // 128) * 128
     xyz_t = jnp.moveaxis(xyz, -1, 0)                        # [3, B, N]
