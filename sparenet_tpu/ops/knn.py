@@ -54,8 +54,19 @@ def _knn_one(x: jnp.ndarray, y: jnp.ndarray, k: int) -> jnp.ndarray:
     return idx.reshape(-1, k)[:n].astype(jnp.int32)
 
 
-def knn_idx(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Self-kNN indices for x [B, N, C] -> [B, N, k] (includes self)."""
+def knn_idx(x: jnp.ndarray, k: int, impl: str = "auto") -> jnp.ndarray:
+    """Self-kNN indices for x [B, N, C] -> [B, N, k] (includes self).
+
+    On TPU a fused Pallas kernel keeps the distance tiles in VMEM
+    (ops/pallas/knn_pallas.py); elsewhere the chunked XLA path runs.
+    """
+    if impl == "auto":
+        n, c = x.shape[1], x.shape[2]
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        impl = "pallas" if (on_tpu and n <= 16384 and c <= 1024) else "xla"
+    if impl == "pallas":
+        from .pallas.knn_pallas import knn_self_pallas
+        return knn_self_pallas(x, k)
     return jax.vmap(lambda p: _knn_one(p, p, k))(x)
 
 

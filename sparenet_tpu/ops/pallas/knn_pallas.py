@@ -1,0 +1,101 @@
+"""Pallas TPU kernel: fused pairwise-distance + k-nearest-neighbors.
+
+The XLA path (ops/knn.py) materializes the [N, N] distance matrix in HBM
+and runs k masked argmin passes over it; this kernel accumulates one
+[Q, N] distance tile in VMEM scratch from C-chunked MXU matmuls (the
+squared-distance expansion decomposes over feature chunks) and selects
+the k nearest in VMEM — the distance matrix never touches HBM.
+
+Output layout: [B, k, N] (k on the sublane axis so each of the k
+selection passes issues one aligned [Q]-lane store; dynamic small-lane
+writes are not Mosaic-friendly). The dispatcher transposes to the
+conventional [B, N, k].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..common import DISTANCE_PRECISION
+
+_BIG = 1e30
+_C_CHUNK = 256
+
+
+def _knn_kernel(k: int, n_valid: int, x_ref, xt_ref, idx_ref, d_scr):
+    """x_ref [1, Q, Cc]; xt_ref [1, Cc, N]; idx_ref [1, k, Q];
+    d_scr [Q, N]. Grid: (batch, q_tiles, c_chunks) — the distance tile
+    accumulates across the (innermost) c dimension."""
+    ci = pl.program_id(2)
+    nc = pl.num_programs(2)
+    xq = x_ref[0]                                            # [Q, Cc]
+    yt = xt_ref[0]                                           # [Cc, N]
+    q = xq.shape[0]
+    n = yt.shape[1]
+
+    y2 = jnp.sum(yt * yt, axis=0, keepdims=True)             # [1, N]
+    x2 = jnp.sum(xq * xq, axis=1, keepdims=True)             # [Q, 1]
+    part = x2 + y2 - 2.0 * jax.lax.dot_general(
+        xq, yt, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=DISTANCE_PRECISION,
+    )
+
+    @pl.when(ci == 0)
+    def _():
+        d_scr[:] = part
+
+    @pl.when(ci > 0)
+    def _():
+        d_scr[:] = d_scr[:] + part
+
+    @pl.when(ci == nc - 1)
+    def _():
+        lane_n = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+        # mask pads + select in place on the scratch (VMEM headroom)
+        d_scr[:] = jnp.where(lane_n >= n_valid, jnp.float32(_BIG), d_scr[:])
+        for j in range(k):
+            i = jnp.argmin(d_scr[:], axis=1).astype(jnp.int32)   # [Q]
+            idx_ref[0, j, :] = i
+            d_scr[:] = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (q, n), 1) == i[:, None],
+                jnp.float32(_BIG), d_scr[:])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def knn_self_pallas(x: jnp.ndarray, k: int, interpret: bool = False) -> jnp.ndarray:
+    """Self-kNN indices for x [B, N, C] -> [B, N, k] int32 (includes self;
+    lowest-index tie-breaking, same as ops/knn.py)."""
+    b, n, c = x.shape
+    n_pad = -(-n // 128) * 128
+    cc = min(_C_CHUNK, -(-c // 128) * 128)
+    c_pad = -(-c // cc) * cc
+    q = 128 if n_pad >= 128 else n_pad
+    while n_pad % q:
+        q //= 2
+
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, c_pad - c)))
+    xt = jnp.transpose(xp, (0, 2, 1))                        # [B, C, N]
+
+    kernel = functools.partial(_knn_kernel, k, n)
+    idx = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // q, c_pad // cc),
+        in_specs=[
+            pl.BlockSpec((1, q, cc), lambda bi, qi, ci: (bi, qi, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cc, n_pad), lambda bi, qi, ci: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, q), lambda bi, qi, ci: (bi, 0, qi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, n_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((q, n_pad), jnp.float32)],
+        interpret=interpret,
+    )(xp, xt)
+    return jnp.transpose(idx, (0, 2, 1))[:, :n]              # [B, N, k]
