@@ -11,10 +11,13 @@ w * feature vs the background, tracking the winning point id per
 
 TPU design: the CUDA kernels iterate pixels per point under spin locks;
 here each point expands a static (2 * ceil(R) + 2)^2 pixel window and the
-contributions become one deterministic XLA scatter-add / scatter-max (no
-locks — scatters are deterministic on TPU). Backward passes are custom
-VJPs implementing the reference's analytic formulas, including the
-``max(r, 1e-10)`` guard at r = 0 (p2i_sum.h:113-127, p2i_max.h:121-138).
+contributions become deterministic XLA scatters (no locks). The point
+axis is processed in fixed-size chunks under ``lax.scan`` carrying the
+image, bounding the windowed intermediates to a constant memory budget
+(a 16k-point x 8-view x radius-10 splat would otherwise materialize
+multi-GB tensors). Backward passes are custom VJPs implementing the
+reference's analytic formulas, including the ``max(r, 1e-10)`` guard at
+r = 0 (p2i_sum.h:113-127, p2i_max.h:121-138).
 
 Image layout: channel-last [B, H, W, C]. Points are [P, 2] in (y, x)
 pixel coordinates (the ±1 -> pixel mapping of the reference wrapper lives
@@ -31,14 +34,27 @@ import jax.numpy as jnp
 
 __all__ = ["p2i_sum", "p2i_max", "p2i"]
 
+# max windowed contributions materialized at once (elems ~= budget * K^2)
+_CHUNK_BUDGET = 1 << 23
+
+
+def _window_k(radius: float) -> int:
+    return 2 * int(math.ceil(radius)) + 2
+
+
+def _point_chunks(p: int, radius: float) -> int:
+    k = _window_k(radius)
+    chunk = max(1, _CHUNK_BUDGET // (k * k))
+    return min(p, chunk)
+
 
 def _window(points: jnp.ndarray, radius: float, h: int, w: int):
     """Candidate pixels per point.
 
-    Returns (py_idx, px_idx [P, K, K] int32, dy, dx, r [P, K, K], valid mask)
+    Returns (py_idx, px_idx [P, K, K] int32, dy, dx, r [P, K, K], valid)
     where K = 2 * ceil(R) + 2 covers floor(p - R) .. ceil(p + R).
     """
-    k = 2 * int(math.ceil(radius)) + 2
+    k = _window_k(radius)
     base = jnp.floor(points - radius).astype(jnp.int32)          # [P, 2]
     offs = jnp.arange(k, dtype=jnp.int32)
     py = base[:, 0:1] + offs                                      # [P, K]
@@ -51,16 +67,32 @@ def _window(points: jnp.ndarray, radius: float, h: int, w: int):
     valid = (
         (pyg >= 0) & (pyg < h) & (pxg >= 0) & (pxg < w) & (r <= radius)
     )
-    pyb = jnp.broadcast_to(pyg, (points.shape[0], k, k))
-    pxb = jnp.broadcast_to(pxg, (points.shape[0], k, k))
-    dy = jnp.broadcast_to(dy, pyb.shape)
-    dx = jnp.broadcast_to(dx, pyb.shape)
-    r = jnp.broadcast_to(r, pyb.shape)
-    return pyb, pxb, dy, dx, r, valid
+    shape = (points.shape[0], k, k)
+    return (jnp.broadcast_to(pyg, shape), jnp.broadcast_to(pxg, shape),
+            jnp.broadcast_to(dy, shape), jnp.broadcast_to(dx, shape),
+            jnp.broadcast_to(r, shape), valid)
 
 
 def _cos_weight(r, radius):
     return jnp.cos(r * jnp.pi / radius) * 0.5 + 0.5
+
+
+def _chunked(points, point_features, batch_inds, radius, init, step):
+    """Run `step(carry, (pts, feats, binds))` over fixed-size point chunks."""
+    p = points.shape[0]
+    chunk = _point_chunks(p, radius)
+    pad = (-p) % chunk
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    fts = jnp.pad(point_features, ((0, pad), (0, 0)))
+    # padded points carry batch index -1 -> dropped
+    bis = jnp.pad(batch_inds, (0, pad), constant_values=-1)
+    n_chunks = pts.shape[0] // chunk
+    pts = pts.reshape(n_chunks, chunk, 2)
+    fts = fts.reshape(n_chunks, chunk, -1)
+    bis = bis.reshape(n_chunks, chunk)
+    offs = jnp.arange(n_chunks) * chunk
+    carry, _ = jax.lax.scan(step, init, (pts, fts, bis, offs))
+    return carry
 
 
 # --------------------------------------------------------------------------
@@ -73,49 +105,64 @@ def p2i_sum(points, point_features, batch_inds, background, kernel_radius):
     background [B,H,W,C] -> [B,H,W,C]."""
     background = jnp.asarray(background)
     b, h, w, c = background.shape
-    py, px, dy, dx, r, valid = _window(points, kernel_radius, h, w)
-    weight = _cos_weight(r, kernel_radius)
-    bvalid = (batch_inds >= 0) & (batch_inds < b)
-    valid = valid & bvalid[:, None, None]
-    contrib = (weight * valid)[..., None] * point_features[:, None, None, :]
-    bi = jnp.broadcast_to(batch_inds[:, None, None], py.shape)
-    # route invalid contributions to a dropped row
-    bi = jnp.where(valid, bi, b)
-    return background.at[bi, py, px].add(contrib, mode="drop")
+
+    def step(out, chunk):
+        pts, fts, bis, _ = chunk
+        py, px, dy, dx, r, valid = _window(pts, kernel_radius, h, w)
+        weight = _cos_weight(r, kernel_radius)
+        bvalid = (bis >= 0) & (bis < b)
+        valid = valid & bvalid[:, None, None]
+        contrib = (weight * valid)[..., None] * fts[:, None, None, :]
+        bi = jnp.broadcast_to(bis[:, None, None], py.shape)
+        bi = jnp.where(valid, bi, b)                     # drop row
+        return out.at[bi, py, px].add(contrib, mode="drop"), None
+
+    return _chunked(points, point_features, batch_inds, kernel_radius,
+                    background, step)
 
 
 def _p2i_sum_fwd(points, point_features, batch_inds, background, kernel_radius):
     out = p2i_sum(points, point_features, batch_inds, background, kernel_radius)
-    return out, (points, point_features, batch_inds, background.shape)
+    return out, (points, point_features, batch_inds, jnp.shape(background))
 
 
 def _p2i_sum_bwd(kernel_radius, res, g):
     points, point_features, batch_inds, bg_shape = res
     b, h, w, c = bg_shape
-    py, px, dy, dx, r, valid = _window(points, kernel_radius, h, w)
-    bvalid = (batch_inds >= 0) & (batch_inds < b)
-    valid = valid & bvalid[:, None, None]
-    weight = _cos_weight(r, kernel_radius)
+    p = points.shape[0]
 
-    bi = jnp.broadcast_to(batch_inds[:, None, None], py.shape)
-    bi = jnp.where(valid, jnp.clip(bi, 0, b - 1), 0)
-    og = g[bi, py * valid, px * valid]                 # [P, K, K, C]
-    og = og * valid[..., None]
+    def step(carry, chunk):
+        pf_g, pt_g = carry
+        pts, fts, bis, off = chunk
+        py, px, dy, dx, r, valid = _window(pts, kernel_radius, h, w)
+        bvalid = (bis >= 0) & (bis < b)
+        valid = valid & bvalid[:, None, None]
+        weight = _cos_weight(r, kernel_radius)
+        bi = jnp.where(valid, jnp.clip(
+            jnp.broadcast_to(bis[:, None, None], py.shape), 0, b - 1), 0)
+        og = g[bi, py * valid, px * valid] * valid[..., None]   # [pc,K,K,C]
 
-    pf_grad = jnp.sum(og * weight[..., None], axis=(1, 2))
-    # grad of the kernel weight -> point coords (p2i_sum.h:107-127)
-    wg = jnp.sum(og * point_features[:, None, None, :], axis=-1)  # [P,K,K]
-    kfac = (
-        wg
-        * jnp.sin(r * jnp.pi / kernel_radius)
-        * 0.5 * jnp.pi / kernel_radius
-        / jnp.maximum(r, 1e-10)
-    ) * valid
-    pt_grad = jnp.stack(
-        [jnp.sum(kfac * dy, axis=(1, 2)), jnp.sum(kfac * dx, axis=(1, 2))],
-        axis=-1,
-    )
-    return pt_grad, pf_grad, None, g
+        pf_chunk = jnp.sum(og * weight[..., None], axis=(1, 2))
+        wg = jnp.sum(og * fts[:, None, None, :], axis=-1)
+        kfac = (
+            wg * jnp.sin(r * jnp.pi / kernel_radius)
+            * 0.5 * jnp.pi / kernel_radius
+            / jnp.maximum(r, 1e-10)
+        ) * valid
+        pt_chunk = jnp.stack(
+            [jnp.sum(kfac * dy, axis=(1, 2)), jnp.sum(kfac * dx, axis=(1, 2))],
+            axis=-1)
+        idx = off + jnp.arange(pts.shape[0])
+        pf_g = pf_g.at[idx].set(pf_chunk, mode="drop")
+        pt_g = pt_g.at[idx].set(pt_chunk, mode="drop")
+        return (pf_g, pt_g), None
+
+    pad = (-p) % _point_chunks(p, kernel_radius)
+    pf_g = jnp.zeros((p + pad, point_features.shape[1]), g.dtype)
+    pt_g = jnp.zeros((p + pad, 2), g.dtype)
+    (pf_g, pt_g) = _chunked(points, point_features, batch_inds, kernel_radius,
+                            (pf_g, pt_g), step)
+    return pt_g[:p], pf_g[:p], None, g
 
 
 p2i_sum.defvjp(_p2i_sum_fwd, _p2i_sum_bwd)
@@ -125,49 +172,75 @@ p2i_sum.defvjp(_p2i_sum_fwd, _p2i_sum_bwd)
 # max reduce
 # --------------------------------------------------------------------------
 
-def _p2i_max_forward(points, point_features, batch_inds, background, kernel_radius):
+def _p2i_max_values(points, point_features, batch_inds, background,
+                    kernel_radius):
+    """Max-splat values only (no winner ids) — the primal fast path."""
     background = jnp.asarray(background)
     b, h, w, c = background.shape
-    p = points.shape[0]
-    py, px, dy, dx, r, valid = _window(points, kernel_radius, h, w)
-    weight = _cos_weight(r, kernel_radius)
-    bvalid = (batch_inds >= 0) & (batch_inds < b)
-    valid = valid & bvalid[:, None, None]
 
-    wv = weight[..., None] * point_features[:, None, None, :]     # [P,K,K,C]
-    neg_inf = jnp.array(-jnp.inf, background.dtype)
-    wv_m = jnp.where(valid[..., None], wv, neg_inf)
+    def max_step(out, chunk):
+        pts, fts, bis, _ = chunk
+        py, px, dy, dx, r, valid = _window(pts, kernel_radius, h, w)
+        weight = _cos_weight(r, kernel_radius)
+        bvalid = (bis >= 0) & (bis < b)
+        valid = valid & bvalid[:, None, None]
+        wv = weight[..., None] * fts[:, None, None, :]
+        wv = jnp.where(valid[..., None], wv, -jnp.inf)
+        bi = jnp.where(valid, jnp.broadcast_to(bis[:, None, None], py.shape), b)
+        return out.at[bi, py, px].max(wv, mode="drop"), None
 
-    bi = jnp.broadcast_to(batch_inds[:, None, None], py.shape)
-    bi = jnp.where(valid, bi, b)
-    out = background.at[bi, py, px].max(wv_m, mode="drop")
+    return _chunked(points, point_features, batch_inds, kernel_radius,
+                    background, max_step)
 
-    # winner ids: smallest point id whose (strictly > background) value
-    # equals the pixel max. CUDA updates only on current < weighted
-    # (p2i_max.h:52-58), so values merely equal to the background leave
-    # id = -1.
-    gathered = out[jnp.where(valid, bi, 0), py * valid, px * valid]
-    bg_g = background[jnp.where(valid, bi, 0), py * valid, px * valid]
-    is_winner = valid[..., None] & (wv >= gathered) & (wv > bg_g)
-    pid = jnp.broadcast_to(
-        jnp.arange(p, dtype=jnp.int32)[:, None, None, None], is_winner.shape
-    )
+
+def _p2i_max_forward(points, point_features, batch_inds, background,
+                     kernel_radius):
+    background = jnp.asarray(background)
+    b, h, w, c = background.shape
     big = jnp.int32(2**31 - 1)
-    ids = jnp.full((b, h, w, c), big, jnp.int32).at[
-        jnp.where(is_winner, bi[..., None], b), py[..., None] * is_winner,
-        px[..., None] * is_winner,
-        jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), is_winner.shape),
-    ].min(jnp.where(is_winner, pid, big), mode="drop")
+
+    out = _p2i_max_values(points, point_features, batch_inds, background,
+                          kernel_radius)
+
+    def id_step(ids, chunk):
+        pts, fts, bis, off = chunk
+        py, px, dy, dx, r, valid = _window(pts, kernel_radius, h, w)
+        weight = _cos_weight(r, kernel_radius)
+        bvalid = (bis >= 0) & (bis < b)
+        valid = valid & bvalid[:, None, None]
+        wv = weight[..., None] * fts[:, None, None, :]
+        bi_raw = jnp.broadcast_to(bis[:, None, None], py.shape)
+        bi = jnp.where(valid, jnp.clip(bi_raw, 0, b - 1), 0)
+        gathered = out[bi, py * valid, px * valid]
+        bg_g = jnp.asarray(background)[bi, py * valid, px * valid]
+        # CUDA updates only when current < weighted (p2i_max.h:52-58):
+        # values merely equal to the background leave id = -1
+        is_winner = valid[..., None] & (wv >= gathered) & (wv > bg_g)
+        pid = (off + jnp.arange(pts.shape[0], dtype=jnp.int32))[:, None, None, None]
+        pid = jnp.broadcast_to(pid, is_winner.shape)
+        ch = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), is_winner.shape)
+        ids = ids.at[
+            jnp.where(is_winner, jnp.broadcast_to(bi_raw[..., None],
+                                                  is_winner.shape), b),
+            jnp.broadcast_to((py * valid)[..., None], is_winner.shape),
+            jnp.broadcast_to((px * valid)[..., None], is_winner.shape),
+            ch,
+        ].min(jnp.where(is_winner, pid, big), mode="drop")
+        return ids, None
+
+    ids = jnp.full((b, h, w, c), big, jnp.int32)
+    ids = _chunked(points, point_features, batch_inds, kernel_radius,
+                   ids, id_step)
     out_point_ids = jnp.where(ids == big, -1, ids)
     return out, out_point_ids
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def p2i_max(points, point_features, batch_inds, background, kernel_radius):
-    """Max-reduce splat -> [B,H,W,C] (winner ids are internal, used by VJP)."""
-    out, _ = _p2i_max_forward(points, point_features, batch_inds, background,
-                              kernel_radius)
-    return out
+    """Max-reduce splat -> [B,H,W,C] (winner ids are computed only by the
+    differentiation path's forward)."""
+    return _p2i_max_values(points, point_features, batch_inds, background,
+                           kernel_radius)
 
 
 def _p2i_max_fwd(points, point_features, batch_inds, background, kernel_radius):

@@ -71,6 +71,9 @@ def _knn_kernel(k: int, n_valid: int, x_ref, xt_ref, idx_ref, d_scr):
 def knn_self_pallas(x: jnp.ndarray, k: int, interpret: bool = False) -> jnp.ndarray:
     """Self-kNN indices for x [B, N, C] -> [B, N, k] int32 (includes self;
     lowest-index tie-breaking, same as ops/knn.py)."""
+    # neighbor indices are non-differentiable (torch.topk indices in the
+    # reference); stop gradients so autodiff never traces the kernel
+    x = jax.lax.stop_gradient(x)
     b, n, c = x.shape
     n_pad = -(-n // 128) * 128
     cc = min(_C_CHUNK, -(-c // 128) * 128)
