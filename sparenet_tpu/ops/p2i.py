@@ -291,6 +291,47 @@ def _p2i_max_bwd(kernel_radius, res, g):
 p2i_max.defvjp(_p2i_max_fwd, _p2i_max_bwd)
 
 
+# --------------------------------------------------------------------------
+# zero-background max reduce (renderer fast path)
+# --------------------------------------------------------------------------
+
+def _zbg_forward(points, point_features, batch_inds, b, h, w, kernel_radius):
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu and h % 32 == 0 and w % 32 == 0 and point_features.shape[1] == 1:
+        from .pallas.p2i_pallas import p2i_max_pallas
+        return p2i_max_pallas(points, point_features, batch_inds,
+                              float(kernel_radius), b, h, w)
+    bg = jnp.zeros((b, h, w, point_features.shape[1]), points.dtype)
+    return _p2i_max_forward(points, point_features, batch_inds, bg,
+                            kernel_radius)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def p2i_max_zbg(points, point_features, batch_inds, b, h, w, kernel_radius):
+    """Max-reduce splat over a ZERO background -> [B,H,W,C].
+
+    The renderer's case (utils/p2i_utils.py:221 allocates a zero
+    background); on TPU this routes to the sorted-tile-bucket Pallas
+    kernel (ops/pallas/p2i_pallas.py)."""
+    out, _ = _zbg_forward(points, point_features, batch_inds, b, h, w,
+                          kernel_radius)
+    return out
+
+
+def _p2i_zbg_fwd(points, point_features, batch_inds, b, h, w, kernel_radius):
+    out, ids = _zbg_forward(points, point_features, batch_inds, b, h, w,
+                            kernel_radius)
+    return out, (points, point_features, ids)
+
+
+def _p2i_zbg_bwd(b, h, w, kernel_radius, res, g):
+    pt_grad, pf_grad, _, _ = _p2i_max_bwd(kernel_radius, res, g)
+    return pt_grad, pf_grad, None
+
+
+p2i_max_zbg.defvjp(_p2i_zbg_fwd, _p2i_zbg_bwd)
+
+
 def p2i(points, point_features, batch_inds, background, kernel_radius,
         kernel_kind_str="cos", reduce="sum"):
     """Dispatcher matching the reference wrapper signature

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.p2i import p2i_max
+from ..ops.p2i import p2i_max_zbg
 
 N_VIEWS_PREDEFINED = 8
 
@@ -113,10 +113,9 @@ class ComputeDepthMaps:
         h = w = self.image_size
         maps = []
         for radius in radius_list:
-            background = jnp.zeros((n_images, h, w, 1), pos_ij.dtype)
             maps.append(
-                p2i_max(pos_ij, point_features, batch_inds, background,
-                        float(radius))
+                p2i_max_zbg(pos_ij, point_features, batch_inds,
+                            n_images, h, w, float(radius))
             )
         return jnp.concatenate(maps, axis=-1)                # [n, H, W, R]
 
