@@ -70,51 +70,157 @@ def _round_bids(xyz1, xyz2, price, unassigned):
     return best_i.astype(jnp.int32), best - better
 
 
-def _emd_one(xyz1, xyz2, eps, iters):
-    n = xyz1.shape[0]
+def _use_pallas_bids(n: int) -> bool:
+    from .pallas import emd_pallas as ep
+    return (jax.default_backend() not in ("cpu", "gpu")
+            and n % ep._OC == 0 and n % ep._BT == 0)
+
+
+def _resolve_round(n, assignment, assignment_inv, price, target, inc, last):
+    """Per-sample post-bid phase of one auction round (GetMax/Assign)."""
     sentinel = jnp.int32(n)
+    unass = assignment < 0
+    t = jnp.where(unass, target, sentinel)
+    # per-object max increment this round (objects with no bids -> -inf)
+    max_inc = jnp.full((n + 1,), -jnp.inf, inc.dtype).at[t].max(
+        jnp.where(unass, inc, -jnp.inf)
+    )
+    # deterministic winner: lowest bidder index within 1e-6 of the max
+    eligible = unass & (inc >= max_inc[t] - 1e-6)
+    winner = jnp.full((n + 1,), sentinel, jnp.int32).at[
+        jnp.where(eligible, t, sentinel)
+    ].min(jnp.arange(n, dtype=jnp.int32))
+    winner = winner[:n]
+    has_winner = winner < sentinel
+
+    if last:
+        # Assign with last=true (emd_cuda.cu:197-216): every unassigned
+        # bidder takes its target; the inverse map / price no longer
+        # influence the output.
+        a = jnp.where(unass, target, assignment)
+        return a, assignment_inv, price
+
+    # unassign previous owners of contested objects
+    old = jnp.where(has_winner, assignment_inv, -1)
+    a = assignment.at[jnp.where(old >= 0, old, sentinel)].set(-1, mode="drop")
+    # assign winners
+    obj = jnp.arange(n, dtype=jnp.int32)
+    winc = jnp.where(has_winner, inc[jnp.where(has_winner, winner, 0)], 0.0)
+    a = a.at[jnp.where(has_winner, winner, sentinel)].set(obj, mode="drop")
+    ai = jnp.where(has_winner, winner, assignment_inv)
+    pr = price + winc
+    return a, ai, pr
+
+
+def _capacities(n: int):
+    """Static capacity ladder for compacted rounds (descending; full
+    width first, then quarters while they stay bid-tile-aligned)."""
+    caps = [n]
+    c = n // 4
+    while c >= 256 and c % 256 == 0:
+        caps.append(c)
+        c //= 4
+    return caps
+
+
+def _compact_resolve(n, u, ids_u, valid, target_c, inc_c, state, last):
+    """GetMax/Assign over the COMPACTED bidder list (one sample).
+
+    ids_u [U] ascending global ids of unassigned bidders (n = padding);
+    semantics identical to `_resolve_round` restricted to unassigned
+    bidders: ascending slots <=> ascending global ids, so lowest-slot
+    winners equal the dense path's lowest-global-bidder winners.
+    """
+    assignment, assignment_inv, price = state
+    sentinel = jnp.int32(n)
+    t = jnp.where(valid, target_c, sentinel)                  # [U]
+
+    if last:
+        a = assignment.at[jnp.where(valid, ids_u, sentinel)].set(
+            target_c, mode="drop")
+        return a, assignment_inv, price
+
+    slot = jnp.arange(u, dtype=jnp.int32)
+    max_inc = jnp.full((n + 1,), -jnp.inf, inc_c.dtype).at[t].max(
+        jnp.where(valid, inc_c, -jnp.inf))
+    eligible = valid & (inc_c >= max_inc[t] - 1e-6)
+    win_slot = jnp.full((n + 1,), u, jnp.int32).at[
+        jnp.where(eligible, t, sentinel)].min(slot)
+    won = eligible & (win_slot[t] == slot)                    # [U]
+
+    wid = jnp.where(won, ids_u, sentinel)                     # winner ids
+    wtgt = jnp.where(won, t, sentinel)                        # their objects
+    # unassign previous owners of contested objects, then assign winners
+    old = jnp.where(won, assignment_inv[jnp.minimum(wtgt, n - 1)], -1)
+    a = assignment.at[jnp.where(old >= 0, old, sentinel)].set(-1, mode="drop")
+    a = a.at[wid].set(t, mode="drop")
+    ai = assignment_inv.at[wtgt].set(ids_u, mode="drop")
+    pr = price.at[wtgt].add(jnp.where(won, inc_c, 0.0), mode="drop")
+    return a, ai, pr
+
+
+def _emd_batched(xyz1, xyz2, eps, iters):
+    """All-batch auction with adaptive bidder compaction.
+
+    Every round, only the (compacted) unassigned bidders are processed —
+    mathematically identical to the dense all-bidders formulation
+    (assigned bidders' bids are masked out of GetMax/Assign anyway,
+    emd_cuda.cu:95-110 lists unassigned bidders the same way) but the
+    per-round cost scales with the unassigned count, which collapses
+    after a few rounds. The compacted width is picked per round from a
+    static capacity ladder via lax.switch (count <= capacity always, so
+    results are bit-identical to the dense path). Bids run through the
+    Pallas kernel on TPU, the tiled-XLA top-2 elsewhere.
+    """
+    b, n, _ = xyz1.shape
+    use_pallas = _use_pallas_bids(n)
+
+    if use_pallas:
+        from .pallas.emd_pallas import emd_bids_pallas
+
+        def bids(x1c, price):
+            return emd_bids_pallas(x1c, xyz2, price)
+    else:
+        def bids(x1c, price):
+            return jax.vmap(
+                lambda a, c, p: _round_bids(a, c, p, None)
+            )(x1c, xyz2, price)
+
+    caps = [c for c in _capacities(n)
+            if c == n or (not use_pallas) or c % 256 == 0]
+
+    def round_at(u, state, ids, last):
+        assignment, assignment_inv, price = state
+        ids_u = jax.lax.slice_in_dim(ids, 0, u, axis=1)       # [B, U]
+        valid = ids_u < n
+        safe = jnp.minimum(ids_u, n - 1)
+        x1c = jnp.take_along_axis(xyz1, safe[..., None], 1)   # [B, U, 3]
+        target_c, raw_inc = bids(x1c, price)
+        inc_c = raw_inc + eps
+        a, ai, pr = jax.vmap(
+            functools.partial(_compact_resolve, n, u, last=last)
+        )(ids_u, valid, target_c, inc_c, state)
+        return a, ai, pr
 
     def round_fn(state, last):
-        assignment, assignment_inv, price = state
+        assignment, _, _ = state
         unass = assignment < 0
-        target, raw_inc = _round_bids(xyz1, xyz2, price, unass)
-        inc = raw_inc + eps
-
-        t = jnp.where(unass, target, sentinel)
-        # per-object max increment this round (objects with no bids -> -inf)
-        max_inc = jnp.full((n + 1,), -jnp.inf, xyz1.dtype).at[t].max(
-            jnp.where(unass, inc, -jnp.inf)
-        )
-        # deterministic winner: lowest bidder index within 1e-6 of the max
-        eligible = unass & (inc >= max_inc[t] - 1e-6)
-        winner = jnp.full((n + 1,), sentinel, jnp.int32).at[
-            jnp.where(eligible, t, sentinel)
-        ].min(jnp.arange(n, dtype=jnp.int32))
-        winner = winner[:n]
-        has_winner = winner < sentinel
-
-        if last:
-            # Assign with last=true (emd_cuda.cu:197-216): every unassigned
-            # bidder takes its target; the inverse map / price no longer
-            # influence the output.
-            a = jnp.where(unass, target, assignment)
-            return (a, assignment_inv, price), None
-
-        # unassign previous owners of contested objects
-        old = jnp.where(has_winner, assignment_inv, -1)
-        a = assignment.at[jnp.where(old >= 0, old, sentinel)].set(-1, mode="drop")
-        # assign winners
-        obj = jnp.arange(n, dtype=jnp.int32)
-        winc = jnp.where(has_winner, inc[jnp.where(has_winner, winner, 0)], 0.0)
-        a = a.at[jnp.where(has_winner, winner, sentinel)].set(obj, mode="drop")
-        ai = jnp.where(has_winner, winner, assignment_inv)
-        pr = price + winc
-        return (a, ai, pr), None
+        # compacted unassigned ids, ascending (stable sort on the flag)
+        ids = jnp.argsort(jnp.where(unass, 0, 1).astype(jnp.int32),
+                          axis=1, stable=True).astype(jnp.int32)
+        ids = jnp.where(jnp.take_along_axis(unass, ids, 1), ids, n)
+        count = jnp.max(jnp.sum(unass.astype(jnp.int32), axis=1))
+        # smallest capacity >= count (capacities descending)
+        idx = jnp.int32(0)
+        for i, c in enumerate(caps[1:], start=1):
+            idx = jnp.where(count <= c, jnp.int32(i), idx)
+        branches = [functools.partial(round_at, c, last=last) for c in caps]
+        return jax.lax.switch(idx, branches, state, ids), None
 
     state = (
-        jnp.full((n,), -1, jnp.int32),
-        jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,), xyz1.dtype),
+        jnp.full((b, n), -1, jnp.int32),
+        jnp.full((b, n), -1, jnp.int32),
+        jnp.zeros((b, n), xyz1.dtype),
     )
     if iters > 1:
         state, _ = jax.lax.scan(
@@ -122,7 +228,8 @@ def _emd_one(xyz1, xyz2, eps, iters):
         )
     state, _ = round_fn(state, True)
     assignment = state[0]
-    diff = xyz1 - xyz2[jnp.maximum(assignment, 0)]
+    matched = jnp.take_along_axis(xyz2, jnp.maximum(assignment, 0)[..., None], 1)
+    diff = xyz1 - matched
     dist = jnp.sum(diff * diff, axis=-1)
     return dist, assignment
 
@@ -136,7 +243,7 @@ def emd_auction(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
     eps=0.005, iters=50; final-test setting eps=0.002, iters=10000
     (utils/misc.py:206-211).
     """
-    return jax.vmap(lambda a, b: _emd_one(a, b, eps, iters))(xyz1, xyz2)
+    return _emd_batched(xyz1, xyz2, eps, iters)
 
 
 def _emd_fwd(xyz1, xyz2, eps, iters):

@@ -74,7 +74,13 @@ def _window(points: jnp.ndarray, radius: float, h: int, w: int):
 
 
 def _cos_weight(r, radius):
-    return jnp.cos(r * jnp.pi / radius) * 0.5 + 0.5
+    # Taylor-in-r^2 evaluation of cos(pi r / R) * 0.5 + 0.5, f32-exact on
+    # r <= R (see pallas/p2i_pallas.cos_weight_sq) — keeps every splat
+    # path (XLA and Pallas kernel) bit-consistent while dodging the
+    # sqrt+cos pair that dominates the kernel's hot loop.
+    from .pallas.p2i_pallas import cos_weight_sq
+    s = r / radius
+    return cos_weight_sq(s * s)
 
 
 def _chunked(points, point_features, batch_inds, radius, init, step):
@@ -295,36 +301,48 @@ p2i_max.defvjp(_p2i_max_fwd, _p2i_max_bwd)
 # zero-background max reduce (renderer fast path)
 # --------------------------------------------------------------------------
 
-def _zbg_forward(points, point_features, batch_inds, b, h, w, kernel_radius):
+def _zbg_forward(points, point_features, batch_inds, b, h, w, kernel_radius,
+                 grouped, with_ids):
+    from .pallas.p2i_pallas import _TH, _TW, p2i_max_pallas
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu and h % 32 == 0 and w % 32 == 0 and point_features.shape[1] == 1:
-        from .pallas.p2i_pallas import p2i_max_pallas
+    if (on_tpu and h % _TH == 0 and w % _TW == 0
+            and 2 * math.ceil(kernel_radius) + 2 <= min(_TH, _TW)
+            and point_features.shape[1] == 1):
         return p2i_max_pallas(points, point_features, batch_inds,
-                              float(kernel_radius), b, h, w)
+                              float(kernel_radius), b, h, w,
+                              with_ids=with_ids, grouped=grouped)
     bg = jnp.zeros((b, h, w, point_features.shape[1]), points.dtype)
-    return _p2i_max_forward(points, point_features, batch_inds, bg,
-                            kernel_radius)
+    if with_ids:
+        return _p2i_max_forward(points, point_features, batch_inds, bg,
+                                kernel_radius)
+    return _p2i_max_values(points, point_features, batch_inds, bg,
+                           kernel_radius), None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def p2i_max_zbg(points, point_features, batch_inds, b, h, w, kernel_radius):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def p2i_max_zbg(points, point_features, batch_inds, b, h, w, kernel_radius,
+                grouped=False):
     """Max-reduce splat over a ZERO background -> [B,H,W,C].
 
     The renderer's case (utils/p2i_utils.py:221 allocates a zero
-    background); on TPU this routes to the sorted-tile-bucket Pallas
-    kernel (ops/pallas/p2i_pallas.py)."""
+    background); on TPU this routes to the tile-bucket Pallas kernel
+    (ops/pallas/p2i_pallas.py). ``grouped`` promises the renderer's
+    contiguous-per-image point layout (enables the counting-sort prep).
+    The primal skips winner-id tracking entirely; ids are computed only
+    on the differentiation path."""
     out, _ = _zbg_forward(points, point_features, batch_inds, b, h, w,
-                          kernel_radius)
+                          kernel_radius, grouped, with_ids=False)
     return out
 
 
-def _p2i_zbg_fwd(points, point_features, batch_inds, b, h, w, kernel_radius):
+def _p2i_zbg_fwd(points, point_features, batch_inds, b, h, w, kernel_radius,
+                 grouped):
     out, ids = _zbg_forward(points, point_features, batch_inds, b, h, w,
-                            kernel_radius)
+                            kernel_radius, grouped, with_ids=True)
     return out, (points, point_features, ids)
 
 
-def _p2i_zbg_bwd(b, h, w, kernel_radius, res, g):
+def _p2i_zbg_bwd(b, h, w, kernel_radius, grouped, res, g):
     pt_grad, pf_grad, _, _ = _p2i_max_bwd(kernel_radius, res, g)
     return pt_grad, pf_grad, None
 

@@ -3,17 +3,29 @@
 The XLA reference (sparenet_tpu.ops.mds) runs the 16384-step greedy loop
 as a fori_loop whose per-step state (the [B, N] density vector) round-
 trips HBM every step. This kernel keeps the densities, coordinates and
-outputs VMEM-resident for the whole loop: per step one fused VPU pass
-updates densities and tracks the row argmin, a short cross-lane reduce
-picks the next point, and a one-hot pass extracts its coordinates.
+outputs VMEM-resident for the whole loop, and the greedy step is ONE
+fused elementwise pass over the [R, N] row block:
 
-Because dynamic lane-indexed stores need 128-alignment, the kernel emits
-a per-point *selection-step* map (aligned [R, N] writes only); the
-[B, npoint] index list is reconstructed by one XLA scatter afterwards.
+  * the selection step of each point is encoded INSIDE the density
+    vector: a selected lane is pinned to 2^23 + step (exactly
+    representable in f32, and far above any reachable real density while
+    far below the 2^24 padding sentinel), so there is no separate
+    [R, N] step-map write per step — one decode pass at the end
+    recovers the step map;
+  * pinning happens lazily at the START of the next step (fused into
+    the density update via the carried selection index), and a
+    >= 2^23 guard keeps contributions out of pinned/padding lanes
+    (the reference achieves the same through f32 rounding against 1e9,
+    MDS_cuda.cu:114-133);
+  * the selected point's coordinates are fetched with per-row 128-lane
+    dynamic slices around the argmin (plus a 128-wide one-hot), instead
+    of full-row one-hot reductions.
 
 Semantics identical to MDS_cuda.cu:104-211 (see ops/mds.py): selection 0
-is point 0; density += exp(-d^2 / (5 * mml^2)), doubled for point index
->= 8192; selected densities pinned to 1e9.
+is point 0; density += exp(-d^2 / t), t = 5 * mml^2, doubled for point
+index >= 8192; selected densities pinned high. Ablation-profiled on v5e
+(scripts/profile_mds.py): ~1.9x over the v1 kernel (argmin re-read,
+step-map write and full-row coordinate extraction eliminated).
 """
 
 from __future__ import annotations
@@ -25,8 +37,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = 1e9
 _HEAVY_FROM = 8192
+_BIGBASE = float(2 ** 23)   # pinned-lane encoding base: 2^23 + step is exact
+_PADBASE = float(2 ** 24)   # padding lanes: always above any pinned value
 
 
 def _mds_kernel(npoint: int, n_valid: int,
@@ -35,43 +48,68 @@ def _mds_kernel(npoint: int, n_valid: int,
 
     xyz_ref: [3, R, N] VMEM; t_ref: [R, 1] VMEM (= 5 * mml^2);
     step_ref: [R, N] int32 VMEM out (selection step per point, npoint if
-    never selected); temp_scratch: [R, N] f32.
+    never selected); temp_scratch: [R, N] f32 (density + encoding).
     """
     r, n = temp_scratch.shape
     x = xyz_ref[0]
     y = xyz_ref[1]
     z = xyz_ref[2]
-    t = t_ref[:].astype(jnp.float32)                        # [R, 1]
+    inv_t = 1.0 / t_ref[:].astype(jnp.float32)               # [R, 1]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
-    # padding lanes never win the argmin; heavy lanes get 2x weight
     pad_mask = lane >= n_valid
     weight = jnp.where(lane >= _HEAVY_FROM, 2.0, 1.0).astype(jnp.float32)
 
-    temp0 = jnp.where(pad_mask, jnp.float32(2 * _BIG), 0.0)
-    temp0 = jnp.where(lane == 0, jnp.float32(_BIG), temp0)
+    temp0 = jnp.where(pad_mask, jnp.float32(_PADBASE), 0.0)
+    # selection 0 is point 0 (MDS_cuda.cu:104-110): pin as step 0
+    temp0 = jnp.where(lane == 0, jnp.float32(_BIGBASE), temp0)
     temp_scratch[:] = temp0
-    step_ref[:] = jnp.where(lane == 0, 0, npoint)
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def coords_at(nxt):
+        """Coordinates of per-row point nxt[r] via 128-aligned dynamic
+        lane slices (dodges three full-row one-hot reductions)."""
+        xs, ys, zs = [], [], []
+        for rr in range(r):
+            idx = nxt[rr]
+            base = (idx // 128) * 128
+            oh = (lane128 == (idx - base)[None, None]).astype(x.dtype)
+            xs.append(jnp.sum(xyz_ref[0, rr, pl.ds(base, 128)][None, :] * oh))
+            ys.append(jnp.sum(xyz_ref[1, rr, pl.ds(base, 128)][None, :] * oh))
+            zs.append(jnp.sum(xyz_ref[2, rr, pl.ds(base, 128)][None, :] * oh))
+        return (jnp.stack(xs)[:, None].astype(x.dtype),
+                jnp.stack(ys)[:, None].astype(x.dtype),
+                jnp.stack(zs)[:, None].astype(x.dtype))
 
     def body(j, carry):
-        last_x, last_y, last_z = carry                      # [R, 1] each
+        prev_idx, last_x, last_y, last_z = carry             # [R], [R,1]x3
         dx = x - last_x
         dy = y - last_y
         dz = z - last_z
         d2 = (dx * dx + dy * dy + dz * dz).astype(jnp.float32)
-        temp = temp_scratch[:] + weight * jnp.exp(-d2 / t)
-        nxt = jnp.argmin(temp, axis=1).astype(jnp.int32)    # [R]
-        sel = lane == nxt[:, None]
-        temp_scratch[:] = jnp.where(sel, jnp.float32(_BIG), temp)
-        step_ref[:] = jnp.where(sel, j, step_ref[:])
-        selF = sel.astype(x.dtype)
-        nx = jnp.sum(x * selF, axis=1, keepdims=True)
-        ny = jnp.sum(y * selF, axis=1, keepdims=True)
-        nz = jnp.sum(z * selF, axis=1, keepdims=True)
-        return nx, ny, nz
+        told = temp_scratch[:]
+        add = jnp.where(told >= _BIGBASE, 0.0,
+                        weight * jnp.exp(-d2 * inv_t))
+        # the carried index was selected at step j-1; pin it now
+        temp = jnp.where(lane == prev_idx[:, None],
+                         jnp.float32(_BIGBASE) + (j - 1).astype(jnp.float32),
+                         told + add)
+        temp_scratch[:] = temp
+        nxt = jnp.argmin(temp, axis=1).astype(jnp.int32)     # [R]
+        nx, ny, nz = coords_at(nxt)
+        return nxt, nx, ny, nz
 
-    init = (x[:, 0:1], y[:, 0:1], z[:, 0:1])
-    jax.lax.fori_loop(1, npoint, body, init)
+    init = (jnp.zeros((r,), jnp.int32), x[:, 0:1], y[:, 0:1], z[:, 0:1])
+    nxt, _, _, _ = jax.lax.fori_loop(1, npoint, body, init)
+
+    # pin the final selection, then decode steps from the encoding
+    temp = temp_scratch[:]
+    temp = jnp.where(lane == nxt[:, None],
+                     jnp.float32(_BIGBASE + npoint - 1), temp)
+    pinned = (temp >= _BIGBASE) & (temp < _PADBASE)
+    step_ref[:] = jnp.where(pinned, (temp - _BIGBASE).astype(jnp.int32),
+                            npoint)
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))

@@ -110,12 +110,14 @@ class ComputeDepthMaps:
 
     def _splat(self, pos_ij, point_features, batch_inds, n_images,
                radius_list):
+        # points are emitted image-major (contiguous per image), which
+        # unlocks the counting-sort bucket prep in the Pallas kernel
         h = w = self.image_size
         maps = []
         for radius in radius_list:
             maps.append(
                 p2i_max_zbg(pos_ij, point_features, batch_inds,
-                            n_images, h, w, float(radius))
+                            n_images, h, w, float(radius), True)
             )
         return jnp.concatenate(maps, axis=-1)                # [n, H, W, R]
 
@@ -151,10 +153,13 @@ class ComputeDepthMaps:
             return self._project(data, matrix)
 
         pix, feat = jax.vmap(project_one)(self.matrices)     # [V, B*N, *]
-        binds = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
-        binds = (binds[None, :] * v + jnp.arange(v, dtype=jnp.int32)[:, None])
+        # reorder rows image-major (image id = batch * V + view), so each
+        # image's points are contiguous — the Pallas prep's layout
+        pix = jnp.transpose(pix.reshape(v, b, n, 2), (1, 0, 2, 3))
+        feat = jnp.transpose(feat.reshape(v, b, n, 1), (1, 0, 2, 3))
+        binds = jnp.repeat(jnp.arange(b * v, dtype=jnp.int32), n)
         maps = self._splat(
-            pix.reshape(-1, 2), feat.reshape(-1, 1), binds.reshape(-1),
+            pix.reshape(-1, 2), feat.reshape(-1, 1), binds,
             b * v, radius_list,
         )                                                    # [B*V, H, W, R]
         h = w = self.image_size

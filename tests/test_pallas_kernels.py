@@ -7,6 +7,7 @@ tolerance envelope).
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,3 +55,87 @@ def test_charge_tree_dp_matches_round_simulation(rng):
         charged_ref = _prune_edges(p_ref, c_ref, s)
         np.testing.assert_array_equal(
             np.asarray(charged_pal)[:, 1:], np.asarray(charged_ref))
+
+
+def test_emd_bids_pallas_matches_xla(rng):
+    """Fused top-2 bid kernel vs the XLA _round_bids path (targets exact,
+    increments to float tolerance; near-tie flips are excluded by seeding)."""
+    from sparenet_tpu.ops.emd import _round_bids
+    from sparenet_tpu.ops.pallas.emd_pallas import emd_bids_pallas
+
+    b, n = 2, 256
+    x1 = jnp.asarray(rng.rand(b, n, 3), jnp.float32)
+    x2 = jnp.asarray(rng.rand(b, n, 3), jnp.float32)
+    price = jnp.asarray(rng.rand(b, n) * 0.1, jnp.float32)
+
+    t_ref, i_ref = jax.vmap(
+        lambda a, c, p: _round_bids(a, c, p, None))(x1, x2, price)
+    t_pal, i_pal = emd_bids_pallas(x1, x2, price, bt=64, oc=128,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(t_pal), np.asarray(t_ref))
+    np.testing.assert_allclose(np.asarray(i_pal), np.asarray(i_ref),
+                               atol=1e-5)
+
+
+def test_emd_bids_pallas_second_best_semantics():
+    """Duplicate best values at different objects: second-best must equal
+    the best (value excluded by POSITION, not by value), and the target
+    must be the lowest object index."""
+    from sparenet_tpu.ops.pallas.emd_pallas import emd_bids_pallas
+
+    n = 128
+    x1 = jnp.zeros((1, n, 3), jnp.float32)
+    # objects 3 and 7 equidistant from every bidder (identical coords)
+    x2 = jnp.ones((1, n, 3), jnp.float32) * 2.0
+    x2 = x2.at[0, 3].set(jnp.array([0.1, 0.0, 0.0]))
+    x2 = x2.at[0, 7].set(jnp.array([0.1, 0.0, 0.0]))
+    price = jnp.zeros((1, n), jnp.float32)
+    t, inc = emd_bids_pallas(x1, x2, price, bt=64, oc=64, interpret=True)
+    assert int(t[0, 0]) == 3
+    np.testing.assert_allclose(np.asarray(inc[0]), 0.0, atol=1e-7)
+
+
+def _p2i_xla_reference(points, feats, binds, radius, b, h, w):
+    from sparenet_tpu.ops.p2i import _p2i_max_forward
+    bg = jnp.zeros((b, h, w, 1), jnp.float32)
+    return _p2i_max_forward(points, feats, binds, bg, radius)
+
+
+def _p2i_case(rng, b, n, h, w):
+    pts = jnp.asarray(
+        np.stack([rng.rand(b * n) * (h + 8) - 4,
+                  rng.rand(b * n) * (w + 8) - 4], -1), jnp.float32)
+    feats = jnp.asarray(rng.rand(b * n, 1) + 0.1, jnp.float32)
+    binds = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+    return pts, feats, binds
+
+
+@pytest.mark.parametrize("grouped", [False, True])
+def test_p2i_pallas_matches_xla(rng, grouped):
+    """Tile-bucket splat kernel (both preps) vs the XLA window-scatter
+    path: values exact, winner ids exact."""
+    from sparenet_tpu.ops.pallas.p2i_pallas import p2i_max_pallas
+
+    b, n, h, w, radius = 2, 200, 32, 128, 4.5
+    pts, feats, binds = _p2i_case(rng, b, n, h, w)
+    v_ref, i_ref = _p2i_xla_reference(pts, feats, binds, radius, b, h, w)
+    v_pal, i_pal = p2i_max_pallas(pts, feats, binds, radius, b, h, w,
+                                  with_ids=True, grouped=grouped,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_p2i_pallas_values_only(rng):
+    from sparenet_tpu.ops.pallas.p2i_pallas import p2i_max_pallas
+
+    b, n, h, w, radius = 2, 150, 64, 128, 7.0
+    pts, feats, binds = _p2i_case(rng, b, n, h, w)
+    v_ref, _ = _p2i_xla_reference(pts, feats, binds, radius, b, h, w)
+    v_pal, ids = p2i_max_pallas(pts, feats, binds, radius, b, h, w,
+                                with_ids=False, grouped=True,
+                                interpret=True)
+    assert ids is None
+    np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
+                               atol=1e-6)
