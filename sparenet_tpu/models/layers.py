@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.knn import get_graph_feature
+from ..ops.knn import get_graph_feature, knn_idx
 
 # ---------------------------------------------------------------------------
 # initializers
@@ -55,6 +55,36 @@ class Conv2d1x1(nn.Dense):
     """1x1 Conv2d replacement (init parity: kaiming normal)."""
 
     kernel_init: Callable = kaiming_init
+
+
+class EdgeConv1x1(nn.Module):
+    """Factorized DGCNN edge convolution.
+
+    Mathematically identical to ``Conv2d1x1(out)(get_graph_feature(x))``
+    — a 1x1 conv over edge features concat(x_j - x_i, x_i) [B, N, k, 2C]
+    (models/sparenet_generator.py:880-906 + the stage convs at
+    :188-242) — but the matmul runs per POINT instead of per edge:
+    with W = [W1; W2],
+
+        conv(e)[b, n, j] = (x W1)[b, idx_j] - (x W1)[b, n] + (x W2)[b, n]
+
+    so the MXU work drops by the neighborhood factor k (8x here); only
+    the gather + add touch the [B, N, k, C] edge tensor. Same kernel
+    parameter shape/init as Conv2d1x1 (no bias, as in the reference).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, idx):
+        c = x.shape[-1]
+        kernel = self.param("kernel", kaiming_init,
+                            (2 * c, self.features), jnp.float32)
+        g1 = x @ kernel[:c]                               # x W1 [B,N,out]
+        g2 = x @ kernel[c:]                               # x W2
+        gj = jnp.take_along_axis(
+            g1[:, :, None, :], idx[..., None], axis=1)    # [B,N,k,out]
+        return gj + (g2 - g1)[:, :, None, :]
 
 
 def batch_norm_1d(train: bool, name: str | None = None) -> nn.BatchNorm:
@@ -204,8 +234,8 @@ class EdgeConvResFeat(nn.Module):
         h = self.hide_size
 
         def stage(feat, out_ch, idx):
-            e = get_graph_feature(feat, k=self.k)          # [B,N,k,2C]
-            e = Conv2d1x1(out_ch, use_bias=False)(e)
+            nbr = knn_idx(feat, k=self.k)                  # [B,N,k]
+            e = EdgeConv1x1(out_ch)(feat, nbr)             # [B,N,k,out]
             e = batch_norm_2d(train)(e)
             if self.use_selayer:
                 e = SELayer(out_ch)(e)

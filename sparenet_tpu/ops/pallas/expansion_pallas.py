@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .reduce import argmin_lanes
+
 _BIG = 1e9
 
 
@@ -67,7 +69,9 @@ def _expansion_kernel(s_valid: int, xyz_ref, parent_ref, cost_ref,
         closer = (~visited) & (d < cur)
         cur = jnp.where(closer, d, cur)
         cidx = jnp.where(closer, last_i[:, None], curidx_scr[:])
-        nxt = jnp.argmin(cur, axis=1).astype(jnp.int32)
+        # lowest-index tie-break, matching the XLA reference path
+        # (Mosaic argmin picks the highest index on ties)
+        nxt = argmin_lanes(cur).astype(jnp.int32)
         sel = lane == nxt[:, None]
         cost = jnp.min(cur, axis=1)
         parent_ref[:] = jnp.where(sel, cidx, parent_ref[:])

@@ -22,6 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..common import DISTANCE_PRECISION
+from .reduce import argmin_lanes
 
 _BIG = 1e30
 _C_CHUNK = 256
@@ -60,7 +61,9 @@ def _knn_kernel(k: int, n_valid: int, x_ref, xt_ref, idx_ref, d_scr):
         # mask pads + select in place on the scratch (VMEM headroom)
         d_scr[:] = jnp.where(lane_n >= n_valid, jnp.float32(_BIG), d_scr[:])
         for j in range(k):
-            i = jnp.argmin(d_scr[:], axis=1).astype(jnp.int32)   # [Q]
+            # lowest-index tie-break, matching the XLA reference path
+            # (Mosaic argmin picks the highest index on ties)
+            i = argmin_lanes(d_scr[:]).astype(jnp.int32)         # [Q]
             idx_ref[0, j, :] = i
             d_scr[:] = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (q, n), 1) == i[:, None],

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .reduce import argmin_lanes
+
 _HEAVY_FROM = 8192
 _BIGBASE = float(2 ** 23)   # pinned-lane encoding base: 2^23 + step is exact
 _PADBASE = float(2 ** 24)   # padding lanes: always above any pinned value
@@ -96,7 +98,9 @@ def _mds_kernel(npoint: int, n_valid: int,
                          jnp.float32(_BIGBASE) + (j - 1).astype(jnp.float32),
                          told + add)
         temp_scratch[:] = temp
-        nxt = jnp.argmin(temp, axis=1).astype(jnp.int32)     # [R]
+        # explicit lowest-index tie-break (Mosaic argmin picks the
+        # HIGHEST index on ties — diverges from the XLA reference)
+        nxt = argmin_lanes(temp).astype(jnp.int32)           # [R]
         nx, ny, nz = coords_at(nxt)
         return nxt, nx, ny, nz
 
