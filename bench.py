@@ -57,10 +57,14 @@ def main():
     for _ in range(warmup - 1):
         float(forward(variables, partial))
 
+    # dispatch asynchronously, sync once: the device executes the steps
+    # back-to-back either way, but per-step host syncs would add the
+    # tunnel's ~40 ms transfer latency to every iteration
     t0 = time.perf_counter()
-    for _ in range(iters):
-        s = float(forward(variables, partial))
+    outs = [forward(variables, partial) for _ in range(iters)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
+    s = float(outs[-1])
     assert np.isfinite(s)
 
     clouds_per_sec = batch * iters / dt

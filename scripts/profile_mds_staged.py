@@ -170,21 +170,23 @@ def mds_staged(xyz, npoint, mean_mst_length, stage_len=2048):
         if hi >= npoint:
             break
 
-        # compact dead lanes (selected or padding) out
-        live = temp < _BIGBASE
+        # compact dead lanes (selected or padding) out: variadic sort on
+        # a dead-flag + position key — order-stable, and far cheaper than
+        # XLA lane scatters. A <=127-lane tail of already-dead lanes may
+        # survive into the next stage; they are inert (>= _BIGBASE) and
+        # their steps were already decoded.
+        ns = temp.shape[1]
         ns_next = -(-(n - hi) // 128) * 128
-        pos = jnp.cumsum(live.astype(jnp.int32), axis=-1) - 1
-        tgt = jnp.where(live, pos, ns_next)
-        temp = jnp.full((b, ns_next), jnp.float32(_PADBASE)).at[
-            batch_ids, tgt].set(temp, mode="drop")
-        orig_n = jnp.full((b, ns_next), -1, jnp.int32).at[
-            batch_ids, tgt].set(orig, mode="drop")
-        xyz_list = []
-        for d in range(3):
-            xyz_list.append(jnp.zeros((b, ns_next), xyz_t.dtype).at[
-                batch_ids, tgt].set(xyz_t[d], mode="drop"))
-        xyz_t = jnp.stack(xyz_list)
-        orig = orig_n
+        lane_cur = jnp.broadcast_to(
+            jnp.arange(ns, dtype=jnp.int32)[None], (b, ns))
+        key = jnp.where(temp >= _BIGBASE, jnp.int32(1 << 20), 0) + lane_cur
+        _, temp, orig, xs, ys, zs = jax.lax.sort(
+            (key, temp, orig, xyz_t[0], xyz_t[1], xyz_t[2]),
+            dimension=-1, num_keys=1)
+        temp = temp[:, :ns_next]
+        orig = orig[:, :ns_next]
+        xyz_t = jnp.stack([xs[:, :ns_next], ys[:, :ns_next],
+                           zs[:, :ns_next]])
         lo = hi
 
     return jax.lax.stop_gradient(idx_out)

@@ -1,17 +1,16 @@
 """Pallas TPU kernel for Minimum Density Sampling.
 
-The XLA reference (sparenet_tpu.ops.mds) runs the 16384-step greedy loop
-as a fori_loop whose per-step state (the [B, N] density vector) round-
-trips HBM every step. This kernel keeps the densities, coordinates and
-outputs VMEM-resident for the whole loop, and the greedy step is ONE
-fused elementwise pass over the [R, N] row block:
+The XLA reference (sparenet_tpu.ops.mds) runs the npoint-step greedy
+loop as a fori_loop whose per-step state (the [B, N] density vector)
+round-trips HBM every step. This kernel keeps densities, coordinates
+and outputs VMEM-resident, and the greedy step is ONE fused elementwise
+pass over the [R, N] row block:
 
   * the selection step of each point is encoded INSIDE the density
     vector: a selected lane is pinned to 2^23 + step (exactly
-    representable in f32, and far above any reachable real density while
-    far below the 2^24 padding sentinel), so there is no separate
-    [R, N] step-map write per step — one decode pass at the end
-    recovers the step map;
+    representable in f32, far above any reachable real density and far
+    below the 2^24 padding sentinel), so there is no separate [R, N]
+    step-map write per step — per-stage decode passes recover the map;
   * pinning happens lazily at the START of the next step (fused into
     the density update via the carried selection index), and a
     >= 2^23 guard keeps contributions out of pinned/padding lanes
@@ -19,13 +18,23 @@ fused elementwise pass over the [R, N] row block:
     MDS_cuda.cu:114-133);
   * the selected point's coordinates are fetched with per-row 128-lane
     dynamic slices around the argmin (plus a 128-wide one-hot), instead
-    of full-row one-hot reductions.
+    of full-row one-hot reductions;
+  * argmin uses an explicit lowest-index tie-break (ops/pallas/reduce):
+    Mosaic's native argmin picks the HIGHEST index on ties, which
+    diverges from the XLA reference exactly when densities underflow to
+    0 (routine at production t values);
+  * **staged lane compaction**: greedy MDS kills exactly one lane per
+    step, so the loop runs in stages of ``_STAGE_LEN`` steps with dead
+    lanes compacted out between stages (variadic-sort glue, order-
+    stable so tie-breaking is preserved; per-lane accumulation order is
+    untouched, so results are bit-identical to the unstaged kernel).
+    Work drops from npoint*N to ~npoint*N - npoint^2/2 — measured 1.31x
+    at the production shape (B=32, n=19384, npoint=16384,
+    scripts/profile_mds_staged.py).
 
 Semantics identical to MDS_cuda.cu:104-211 (see ops/mds.py): selection 0
 is point 0; density += exp(-d^2 / t), t = 5 * mml^2, doubled for point
-index >= 8192; selected densities pinned high. Ablation-profiled on v5e
-(scripts/profile_mds.py): ~1.9x over the v1 kernel (argmin re-read,
-step-map write and full-row coordinate extraction eliminated).
+index >= 8192; selected densities pinned high.
 """
 
 from __future__ import annotations
@@ -42,47 +51,39 @@ from .reduce import argmin_lanes
 _HEAVY_FROM = 8192
 _BIGBASE = float(2 ** 23)   # pinned-lane encoding base: 2^23 + step is exact
 _PADBASE = float(2 ** 24)   # padding lanes: always above any pinned value
+_STAGE_LEN = 4096           # greedy steps per compaction stage
 
 
-def _mds_kernel(npoint: int, n_valid: int,
-                xyz_ref, t_ref, step_ref, temp_scratch):
-    """One grid step handles a [R] row block of the batch.
+def _stage_kernel(lo: int, hi: int,
+                  xyz_ref, orig_ref, t_ref, prev_ref, tin_ref,
+                  tout_ref, last_ref):
+    """Run greedy steps [lo, hi) on a (possibly compacted) lane layout.
 
-    xyz_ref: [3, R, N] VMEM; t_ref: [R, 1] VMEM (= 5 * mml^2);
-    step_ref: [R, N] int32 VMEM out (selection step per point, npoint if
-    never selected); temp_scratch: [R, N] f32 (density + encoding).
+    xyz_ref [3, R, Ns]; orig_ref [R, Ns] int32 original point index (for
+    the >= 8192 double weighting, MDS_cuda.cu:130); t_ref [R, 1];
+    prev_ref [R, 4] f32 coords of selection lo-1 (already pinned);
+    tin_ref/tout_ref [R, Ns] f32 aliased density state; last_ref [R, 4]
+    f32 out = coords of selection hi-1 (pinned at exit).
     """
-    r, n = temp_scratch.shape
+    r, n = tin_ref.shape
     x = xyz_ref[0]
     y = xyz_ref[1]
     z = xyz_ref[2]
-    inv_t = 1.0 / t_ref[:].astype(jnp.float32)               # [R, 1]
+    inv_t = 1.0 / t_ref[:].astype(jnp.float32)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
-    pad_mask = lane >= n_valid
-    weight = jnp.where(lane >= _HEAVY_FROM, 2.0, 1.0).astype(jnp.float32)
-
-    temp0 = jnp.where(pad_mask, jnp.float32(_PADBASE), 0.0)
-    # selection 0 is point 0 (MDS_cuda.cu:104-110): pin as step 0
-    temp0 = jnp.where(lane == 0, jnp.float32(_BIGBASE), temp0)
-    temp_scratch[:] = temp0
-
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    weight = jnp.where(orig_ref[:] >= _HEAVY_FROM, 2.0, 1.0
+                       ).astype(jnp.float32)
 
     def coords_at(nxt):
-        """Coordinates of per-row point nxt[r] via 128-aligned dynamic
-        lane slices (dodges three full-row one-hot reductions)."""
-        xs, ys, zs = [], [], []
-        for rr in range(r):
-            idx = nxt[rr]
-            base = (idx // 128) * 128
-            oh = (lane128 == (idx - base)[None, None]).astype(x.dtype)
-            xs.append(jnp.sum(xyz_ref[0, rr, pl.ds(base, 128)][None, :] * oh))
-            ys.append(jnp.sum(xyz_ref[1, rr, pl.ds(base, 128)][None, :] * oh))
-            zs.append(jnp.sum(xyz_ref[2, rr, pl.ds(base, 128)][None, :] * oh))
-        return (jnp.stack(xs)[:, None].astype(x.dtype),
-                jnp.stack(ys)[:, None].astype(x.dtype),
-                jnp.stack(zs)[:, None].astype(x.dtype))
+        """Coordinates of per-row point nxt[r] via one-hot row
+        reductions. (A 128-lane dynamic-slice variant was ablated and is
+        ~36% SLOWER on v5e — per-row dynamic addressing serializes;
+        scripts/profile_mds.py v2 dyncoord=True vs False.)"""
+        sel = (lane == nxt[:, None]).astype(x.dtype)
+        return (jnp.sum(x * sel, axis=1, keepdims=True),
+                jnp.sum(y * sel, axis=1, keepdims=True),
+                jnp.sum(z * sel, axis=1, keepdims=True))
 
     def body(j, carry):
         prev_idx, last_x, last_y, last_z = carry             # [R], [R,1]x3
@@ -90,30 +91,77 @@ def _mds_kernel(npoint: int, n_valid: int,
         dy = y - last_y
         dz = z - last_z
         d2 = (dx * dx + dy * dy + dz * dz).astype(jnp.float32)
-        told = temp_scratch[:]
+        told = tin_ref[:]
         add = jnp.where(told >= _BIGBASE, 0.0,
                         weight * jnp.exp(-d2 * inv_t))
         # the carried index was selected at step j-1; pin it now
         temp = jnp.where(lane == prev_idx[:, None],
                          jnp.float32(_BIGBASE) + (j - 1).astype(jnp.float32),
                          told + add)
-        temp_scratch[:] = temp
-        # explicit lowest-index tie-break (Mosaic argmin picks the
-        # HIGHEST index on ties — diverges from the XLA reference)
+        tin_ref[:] = temp
         nxt = argmin_lanes(temp).astype(jnp.int32)           # [R]
         nx, ny, nz = coords_at(nxt)
         return nxt, nx, ny, nz
 
-    init = (jnp.zeros((r,), jnp.int32), x[:, 0:1], y[:, 0:1], z[:, 0:1])
-    nxt, _, _, _ = jax.lax.fori_loop(1, npoint, body, init)
+    # selection lo-1 is already pinned (previous stage exit / init):
+    # start from the -1 sentinel so the first iteration pins nothing
+    init = (jnp.full((r,), -1, jnp.int32),
+            prev_ref[:, 0:1].astype(x.dtype),
+            prev_ref[:, 1:2].astype(x.dtype),
+            prev_ref[:, 2:3].astype(x.dtype))
+    nxt, lx, ly, lz = jax.lax.fori_loop(lo, hi, body, init)
 
-    # pin the final selection, then decode steps from the encoding
-    temp = temp_scratch[:]
-    temp = jnp.where(lane == nxt[:, None],
-                     jnp.float32(_BIGBASE + npoint - 1), temp)
-    pinned = (temp >= _BIGBASE) & (temp < _PADBASE)
-    step_ref[:] = jnp.where(pinned, (temp - _BIGBASE).astype(jnp.int32),
-                            npoint)
+    # pin the final selection (step hi-1) and emit its coords
+    tout_ref[:] = jnp.where(lane == nxt[:, None],
+                            jnp.float32(_BIGBASE + hi - 1), tin_ref[:])
+    last_ref[:] = jnp.concatenate(
+        [lx.astype(jnp.float32), ly.astype(jnp.float32),
+         lz.astype(jnp.float32),
+         jnp.zeros((r, 1), jnp.float32)], axis=1)
+
+
+def _run_stage(lo, hi, xyz_t, orig, t, prev, temp, interpret):
+    import os
+    b, ns = orig.shape
+    # VMEM budget: ~6 live [R, Ns] f32 tiles. Larger row blocks amortize
+    # the per-step fixed cost (loop control + reduction latency) over
+    # more rows; MDS_VMEM_MB trades that against compile-time OOM risk.
+    # default 12 MB: R=16 row blocks at the production stage-1 shape
+    # measured 8% faster than R=8 (6 MB); 16 MB fails to compile
+    budget = int(os.environ.get("MDS_VMEM_MB", "12")) * 1024 * 1024
+    r = b
+    while r > 1 and 6 * r * ns * 4 > budget:
+        r //= 2
+    while b % r:
+        r -= 1
+    grid = (b // r,)
+    kernel = functools.partial(_stage_kernel, lo, hi)
+    temp_out, last = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, r, ns), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, ns), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, ns), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, ns), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ns), jnp.float32),
+            jax.ShapeDtypeStruct((b, 4), jnp.float32),
+        ],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(xyz_t, orig, t, prev, temp)
+    return temp_out, last
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
@@ -137,38 +185,59 @@ def mds_pallas(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
         xyz_t = xyz_t.astype(jnp.bfloat16)
     t = (5.0 * mean_mst_length * mean_mst_length)[:, None]  # [B, 1]
 
-    # row block: whole batch in one program while VMEM allows; budget
-    # ~5 live [R, N] f32 tiles (plus Mosaic's double-buffered in/out
-    # blocks) well under the 16 MB scoped-vmem limit.
-    r = b
-    while r > 1 and 5 * r * n_pad * 4 > 6 * 1024 * 1024:
-        r //= 2
-    while b % r:
-        r -= 1
-    grid = (b // r,)
+    lane = jnp.arange(n_pad, dtype=jnp.int32)[None, :]
+    orig = jnp.broadcast_to(lane, (b, n_pad))
+    temp = jnp.where(lane >= n, jnp.float32(_PADBASE), 0.0)
+    temp = jnp.where(lane == 0, jnp.float32(_BIGBASE), temp)   # step 0
+    temp = jnp.broadcast_to(temp, (b, n_pad))
+    prev = jnp.concatenate(
+        [xyz[:, 0, :].astype(jnp.float32), jnp.zeros((b, 1), jnp.float32)],
+        axis=1)                                                # [B, 4]
 
-    kernel = functools.partial(_mds_kernel, npoint, n)
-    step_map = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, r, n_pad), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((r, n_pad), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((r, n_pad), jnp.float32)],
-        interpret=interpret,
-    )(xyz_t, t)
+    batch_ids = jnp.arange(b)[:, None]
+    idx_out = jnp.zeros((b, npoint), jnp.int32)
 
-    # invert the step map: idx[b, step] = point
-    step_map = step_map[:, :n]
-    point_ids = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
-    batch_ids = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
-    idx = jnp.zeros((b, npoint), jnp.int32).at[
-        batch_ids, step_map
-    ].set(point_ids, mode="drop")
-    return jax.lax.stop_gradient(idx)
+    # stage boundaries: compaction pays once a stage's worth of lanes
+    # has died; below 2 stages it is pure overhead
+    if npoint > 2 * _STAGE_LEN and n > 2 * _STAGE_LEN:
+        bounds = [1] + list(range(_STAGE_LEN, npoint, _STAGE_LEN)) + [npoint]
+    else:
+        bounds = [1, npoint]
+
+    lo = bounds[0]
+    for hi in bounds[1:]:
+        temp, last = _run_stage(lo, hi, xyz_t, orig, t, prev, temp,
+                                interpret)
+        prev = last
+
+        # decode this stage's pins into the output (original indices)
+        step = (temp - _BIGBASE).astype(jnp.int32)
+        newly = (temp >= _BIGBASE) & (temp < _PADBASE) & \
+                (step >= max(lo - 1, 0)) & (step < hi)
+        idx_out = idx_out.at[
+            batch_ids, jnp.where(newly, step, npoint)
+        ].set(orig, mode="drop")
+
+        if hi >= npoint:
+            break
+
+        # compact dead lanes (selected or padding) out: variadic sort on
+        # a dead-flag + position key — order-stable (argmin tie-breaking
+        # preserved), far cheaper than XLA lane scatters. A <=127-lane
+        # tail of already-dead lanes may survive into the next stage;
+        # they are inert (>= _BIGBASE) and already decoded.
+        ns = temp.shape[1]
+        ns_next = -(-(n - hi) // 128) * 128
+        lane_cur = jnp.broadcast_to(
+            jnp.arange(ns, dtype=jnp.int32)[None], (b, ns))
+        key = jnp.where(temp >= _BIGBASE, jnp.int32(1 << 20), 0) + lane_cur
+        _, temp, orig, xs, ys, zs = jax.lax.sort(
+            (key, temp, orig, xyz_t[0], xyz_t[1], xyz_t[2]),
+            dimension=-1, num_keys=1)
+        temp = temp[:, :ns_next]
+        orig = orig[:, :ns_next]
+        xyz_t = jnp.stack([xs[:, :ns_next], ys[:, :ns_next],
+                           zs[:, :ns_next]])
+        lo = hi
+
+    return jax.lax.stop_gradient(idx_out)
