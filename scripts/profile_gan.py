@@ -149,6 +149,13 @@ def main():
         fake_imgs = runner.renderer.render_all_views(middle, [radius])
         return rec, fake_imgs
 
+    if "gen_fwd" in variants:
+        def gf(params, bs, p, g):
+            rec, fimgs = gen_outputs(params, bs, p, g)
+            return rec + jnp.sum(fimgs)
+        timed("gen fwd only (rec+render)", jax.jit(gf),
+              gstate.params, gstate.batch_stats, partial, gt)
+
     if "gen_vjp" in variants:
         def gv(params, bs, p, g):
             (rec, fimgs), vjp = jax.vjp(
@@ -206,6 +213,34 @@ def main():
             return jnp.sum(g)
         timed("img-loss grad through D", jax.jit(il), fimgs, iimgs,
               labels_dev)
+
+    # ------- 3x EMD on REAL generator outputs (hard auction case) -------
+    if "emd_real" in variants:
+        outs = runner.model_eval.apply(
+            {"params": gstate.params, "batch_stats": gstate.batch_stats},
+            partial)
+        coarse, middle, refine = [jax.lax.stop_gradient(o)
+                                  for o in outs[:3]]
+        coarse, middle, refine, gt_d = map(
+            jax.block_until_ready, (coarse, middle, refine, gt))
+
+        def e3r(c, m, r, g):
+            t = 0.0
+            for a in (c, m, r):
+                d, _ = emd_auction(a, g, 0.005, 50)
+                t = t + jnp.mean(jnp.sqrt(d))
+            return t
+        timed("3x EMD on generator outputs", jax.jit(e3r),
+              coarse, middle, refine, gt_d)
+
+        # unassigned-count trajectory for the ladder
+        for iters in (1, 3, 8, 20, 50):
+            _, a = emd_auction(coarse, gt_d, 0.005, iters)
+            uniq = int(jnp.sum(jnp.zeros(a.shape).at[
+                jnp.arange(a.shape[0])[:, None], jnp.maximum(a, 0)
+            ].max(1.0)))
+            print(f"  coarse-vs-gt iters={iters:3d}: duplicate targets "
+                  f"{a.size - uniq}", flush=True)
 
     # ---------------- 3x EMD ----------------
     if "emd3" in variants:

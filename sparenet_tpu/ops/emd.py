@@ -189,8 +189,26 @@ def _emd_batched(xyz1, xyz2, eps, iters):
     caps = [c for c in _capacities(n)
             if c == n or (not use_pallas) or c % 256 == 0]
 
-    def round_at(u, state, ids, last):
+    def dense_round(state, last):
+        """Full-width round: every bidder bids, assigned ones are masked
+        in the resolve — skips the per-round sort + gather entirely (the
+        dominant glue cost while the unassigned count stays high)."""
         assignment, assignment_inv, price = state
+        target, raw_inc = bids(xyz1, price)
+        inc = raw_inc + eps
+        a, ai, pr = jax.vmap(
+            functools.partial(_resolve_round, n, last=last)
+        )(assignment, assignment_inv, price, target, inc)
+        return a, ai, pr
+
+    def round_at(u, state, last):
+        assignment, assignment_inv, price = state
+        unass = assignment < 0
+        # compacted unassigned ids, ascending (stable sort on the flag);
+        # computed inside the branch so only compacted rounds pay for it
+        ids = jnp.argsort(jnp.where(unass, 0, 1).astype(jnp.int32),
+                          axis=1, stable=True).astype(jnp.int32)
+        ids = jnp.where(jnp.take_along_axis(unass, ids, 1), ids, n)
         ids_u = jax.lax.slice_in_dim(ids, 0, u, axis=1)       # [B, U]
         valid = ids_u < n
         safe = jnp.minimum(ids_u, n - 1)
@@ -205,17 +223,14 @@ def _emd_batched(xyz1, xyz2, eps, iters):
     def round_fn(state, last):
         assignment, _, _ = state
         unass = assignment < 0
-        # compacted unassigned ids, ascending (stable sort on the flag)
-        ids = jnp.argsort(jnp.where(unass, 0, 1).astype(jnp.int32),
-                          axis=1, stable=True).astype(jnp.int32)
-        ids = jnp.where(jnp.take_along_axis(unass, ids, 1), ids, n)
         count = jnp.max(jnp.sum(unass.astype(jnp.int32), axis=1))
         # smallest capacity >= count (capacities descending)
         idx = jnp.int32(0)
         for i, c in enumerate(caps[1:], start=1):
             idx = jnp.where(count <= c, jnp.int32(i), idx)
-        branches = [functools.partial(round_at, c, last=last) for c in caps]
-        return jax.lax.switch(idx, branches, state, ids), None
+        branches = [functools.partial(dense_round, last=last)] + [
+            functools.partial(round_at, c, last=last) for c in caps[1:]]
+        return jax.lax.switch(idx, branches, state), None
 
     state = (
         jnp.full((b, n), -1, jnp.int32),
