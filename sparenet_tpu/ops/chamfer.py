@@ -58,10 +58,23 @@ def _nn_one(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return dist, idx
 
 
+def _nn_batched(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched NN with dispatch: VMEM-resident Pallas kernel on TPU
+    (ops/pallas/chamfer_pallas.py), chunked XLA elsewhere. Distances are
+    recomputed from the gathered match identically on both paths."""
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu and x.shape[1] >= 512 and y.shape[1] >= 512:
+        from .pallas.chamfer_pallas import nn_idx_pallas
+        idx = nn_idx_pallas(x, y)
+        diff = x - jnp.take_along_axis(y, idx[..., None], axis=1)
+        return jnp.sum(diff * diff, axis=-1), idx
+    return jax.vmap(_nn_one)(x, y)
+
+
 @jax.jit
 def nn_search(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched nearest-neighbor search x [B,N,3] -> y [B,M,3]."""
-    return jax.vmap(_nn_one)(x, y)
+    return _nn_batched(x, y)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -70,8 +83,8 @@ def chamfer_raw(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
 
     Parity: ``ChamferFunction`` (cuda/chamfer_dist/__init__.py:6-19).
     """
-    dist1, idx1 = jax.vmap(_nn_one)(xyz1, xyz2)
-    dist2, idx2 = jax.vmap(_nn_one)(xyz2, xyz1)
+    dist1, idx1 = _nn_batched(xyz1, xyz2)
+    dist2, idx2 = _nn_batched(xyz2, xyz1)
     return dist1, dist2, idx1, idx2
 
 

@@ -123,14 +123,22 @@ def _stage_kernel(lo: int, hi: int,
 def _run_stage(lo, hi, xyz_t, orig, t, prev, temp, interpret):
     import os
     b, ns = orig.shape
-    # VMEM budget: ~6 live [R, Ns] f32 tiles. Larger row blocks amortize
-    # the per-step fixed cost (loop control + reduction latency) over
-    # more rows; MDS_VMEM_MB trades that against compile-time OOM risk.
-    # default 12 MB: R=16 row blocks at the production stage-1 shape
-    # measured 8% faster than R=8 (6 MB); 16 MB fails to compile
-    budget = int(os.environ.get("MDS_VMEM_MB", "12")) * 1024 * 1024
+    # Row-block sizing: larger blocks amortize the per-step fixed cost
+    # (loop control + reduction latency; R=16 measured ~8% over R=8).
+    # Block-size ceilings are anchored in measured scoped-VMEM outcomes
+    # (usage is affine in r*ns with a large constant, not a clean
+    # per-tile multiple): with grid > 1 Mosaic double-buffers in/out
+    # blocks — [16, 19456] (318k elems) compiles at 15.3 MB while
+    # [32, 11264] (352k) OOMs at 16.4 MB; at grid = 1 (whole batch in
+    # one program) [32, 15360] (491k) is known good.
+    limit_g1 = int(os.environ.get("MDS_BLOCK_ELEMS_G1", str(512 * 1024)))
+    limit = int(os.environ.get("MDS_BLOCK_ELEMS", str(320 * 1024)))
+
+    def fits(r):
+        return r * ns <= (limit_g1 if r == b else limit)
+
     r = b
-    while r > 1 and 6 * r * ns * 4 > budget:
+    while r > 1 and not fits(r):
         r //= 2
     while b % r:
         r -= 1

@@ -139,3 +139,27 @@ def test_p2i_pallas_values_only(rng):
     assert ids is None
     np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
                                atol=1e-6)
+
+
+def test_chamfer_nn_pallas_matches_xla(rng):
+    from sparenet_tpu.ops.chamfer import _nn_one
+    from sparenet_tpu.ops.pallas.chamfer_pallas import nn_idx_pallas
+
+    # uneven sizes exercise the object-lane padding mask
+    x = jnp.asarray(rng.rand(2, 700, 3), jnp.float32)
+    y = jnp.asarray(rng.rand(2, 900, 3), jnp.float32)
+    _, i_ref = jax.vmap(_nn_one)(x, y)
+    i_pal = nn_idx_pallas(x, y, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_chamfer_nn_pallas_tie_break(rng):
+    from sparenet_tpu.ops.pallas.chamfer_pallas import nn_idx_pallas
+
+    # duplicated object points: lowest index must win
+    y = np.asarray(rng.rand(1, 640, 3), np.float32)
+    y[0, 500] = y[0, 20]
+    y[0, 601] = y[0, 20]
+    x = jnp.asarray(y[:, 20:21, :])
+    i_pal = nn_idx_pallas(x, jnp.asarray(y), interpret=True)
+    assert int(i_pal[0, 0]) == 20
