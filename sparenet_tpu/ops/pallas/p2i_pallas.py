@@ -137,9 +137,15 @@ def _prep_sorted(points, point_features, batch_inds, radius, b, h, w):
 
 
 def _prep_grouped(points, point_features, batch_inds, radius, b, h, w):
-    """Counting-sort prep for the renderer layout: image i's points are
-    rows [i*n0, (i+1)*n0) (batch_inds is redundant there). The stable
-    argsort becomes 16 masked cumsums over [NI, 4*n0]."""
+    """Per-image-sort prep for the renderer layout: image i's points are
+    rows [i*n0, (i+1)*n0) (batch_inds is redundant there). A batched
+    stable lax.sort of the [NI, 4*n0] local-key rows replaces both the
+    flat global argsort (~200 ms wall at GAN scale, 64x16384 pts) and
+    the 16-masked-cumsum counting sort (~127 ms) at ~80 ms wall
+    (~40 ms of which is the sync transfer; scripts/profile_p2i_prep.py,
+    bit-exactness asserted there). Equal keys keep (replica, pid) order
+    under the stable sort, identical to the counting sort's rank order,
+    so winner-tie semantics are unchanged."""
     p = points.shape[0]
     th, tw = h // _TH, w // _TW
     kpi = th * tw                                             # keys per image
@@ -160,27 +166,35 @@ def _prep_grouped(points, point_features, batch_inds, radius, b, h, w):
         (4, b, n0))
     pids = jnp.transpose(pid4, (1, 0, 2)).reshape(b, ecap)
 
-    counts = jnp.zeros((b, kpi), jnp.int32)
-    rank = jnp.zeros((b, ecap), jnp.int32)
-    for k in range(kpi):
-        mask = keys == k
-        mi = mask.astype(jnp.int32)
-        rank = jnp.where(mask, jnp.cumsum(mi, axis=1) - 1, rank)
-        counts = counts.at[:, k].set(jnp.sum(mi, axis=1))
+    sk, sp = jax.lax.sort((keys, pids), dimension=-1, num_keys=1)
+
+    # per-image bucket bounds from the sorted keys
+    targets = jnp.arange(kpi + 1, dtype=jnp.int32)
+    bounds = jax.vmap(
+        lambda row: jnp.searchsorted(row, targets, side="left")
+    )(sk).astype(jnp.int32)                                   # [NI, kpi+1]
+    counts = bounds[:, 1:] - bounds[:, :-1]
 
     pad_counts = jnp.maximum(-(-counts // _CHUNK), 1) * _CHUNK  # [NI, kpi]
     loc_off = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(pad_counts, axis=1)],
         axis=1)                                               # [NI, kpi+1]
 
-    valid_k = keys < kpi
-    off_at_key = jnp.take_along_axis(
-        loc_off, jnp.minimum(keys, kpi - 1), axis=1)
-    dst = img * s_img + off_at_key + rank
+    valid_k = sk < kpi
+    # per-slot (loc_off[key] - bounds[key]) as a step function of the
+    # SORTED keys: kpi broadcast compare-adds, avoiding minor-axis
+    # element gathers (take_along_axis here measured ~120 ms at GAN
+    # scale; cumsum-based ranking ~90 ms)
+    shift = loc_off[:, :kpi] - bounds[:, :kpi]                # [NI, kpi]
+    val = jnp.broadcast_to(shift[:, 0:1], sk.shape)
+    for k in range(1, kpi):
+        val = val + jnp.where(sk >= k, shift[:, k:k+1] - shift[:, k-1:k], 0)
+    slot = jnp.arange(ecap, dtype=jnp.int32)[None, :]
+    dst = img * s_img + slot + val
     dst = jnp.where(valid_k, dst, e).reshape(-1)
 
     entry_pid = jnp.zeros((e,), jnp.int32).at[dst].set(
-        pids.reshape(-1), mode="drop", unique_indices=True)
+        sp.reshape(-1), mode="drop", unique_indices=True)
     valid = jnp.zeros((e,), jnp.int32).at[dst].set(
         valid_k.astype(jnp.int32).reshape(-1), mode="drop",
         unique_indices=True)
