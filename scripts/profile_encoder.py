@@ -33,10 +33,16 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--n", type=int, default=3000)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--distance-precision", default=None,
+                    choices=["HIGHEST", "HIGH", "DEFAULT"],
+                    help="override the pairwise-distance matmul precision")
     args = ap.parse_args()
 
     if args.bf16:
         jax.config.update("jax_default_matmul_precision", "bfloat16")
+    if args.distance_precision:
+        from sparenet_tpu.ops import common
+        common.set_distance_precision(args.distance_precision)
 
     from sparenet_tpu.models.layers import EdgeConvResFeat
     from sparenet_tpu.models import SpareNetGenerator

@@ -90,6 +90,23 @@ def main():
     rfwd = jax.jit(lambda v, f: jnp.sum(res.apply(v, f)))
     timed("residual refine (PointNetRes 16k)", lambda: rfwd(rv, feat4))
 
+    # gather alone (XLA take_along_axis at refine shape)
+    idx = jnp.asarray(rs.permutation(19384)[:16384][None].repeat(B, 0),
+                      jnp.int32)
+    cat4 = jnp.concatenate([cat, jnp.zeros((B, 19384, 1))], axis=-1)
+    gfwd = jax.jit(lambda c, i: jnp.sum(gather_points(c, i)))
+    timed("gather_points 16384-of-19384 x4ch", lambda: gfwd(cat4, idx))
+
+    # whole refine block (expansion + concats + MDS + gather + residual)
+    from sparenet_tpu.models.sparenet import SpareNetRefine
+    ref = SpareNetRefine(num_points=16384, n_primitives=32,
+                         use_selayer=True, train=False)
+    refv = ref.init(jax.random.PRNGKey(0), coarse, partial)
+    reffwd = jax.jit(
+        lambda v, c, p: jnp.sum(ref.apply(v, c, p)[0]))
+    timed("refine BLOCK (exp+MDS+gather+res)", lambda: reffwd(
+        refv, coarse, partial))
+
     # assembled
     model = SpareNetGenerator(
         num_points=16384, n_primitives=32, bottleneck_size=4096,

@@ -16,9 +16,10 @@ pass over the [R, N] row block:
     >= 2^23 guard keeps contributions out of pinned/padding lanes
     (the reference achieves the same through f32 rounding against 1e9,
     MDS_cuda.cu:114-133);
-  * the selected point's coordinates are fetched with per-row 128-lane
-    dynamic slices around the argmin (plus a 128-wide one-hot), instead
-    of full-row one-hot reductions;
+  * the selected point's coordinates are fetched with full-row one-hot
+    reductions (a 128-lane dynamic-slice variant was ablated ~36%
+    slower), and the density update runs in exp2 dot-product form with
+    a precomputed per-lane bias (see _stage_kernel);
   * argmin uses an explicit lowest-index tie-break (ops/pallas/reduce):
     Mosaic's native argmin picks the HIGHEST index on ties, which
     diverges from the XLA reference exactly when densities underflow to
@@ -55,45 +56,65 @@ _STAGE_LEN = 4096           # greedy steps per compaction stage
 
 
 def _stage_kernel(lo: int, hi: int,
-                  xyz_ref, orig_ref, t_ref, prev_ref, tin_ref,
+                  xyz_ref, bias_ref, t_ref, prev_ref, tin_ref,
                   tout_ref, last_ref):
     """Run greedy steps [lo, hi) on a (possibly compacted) lane layout.
 
-    xyz_ref [3, R, Ns]; orig_ref [R, Ns] int32 original point index (for
-    the >= 8192 double weighting, MDS_cuda.cu:130); t_ref [R, 1];
-    prev_ref [R, 4] f32 coords of selection lo-1 (already pinned);
-    tin_ref/tout_ref [R, Ns] f32 aliased density state; last_ref [R, 4]
-    f32 out = coords of selection hi-1 (pinned at exit).
+    xyz_ref [3, R, Ns]; bias_ref [R, Ns] f32 precomputed per-lane exp2
+    bias (see below); t_ref [R, 1]; prev_ref [R, 4] f32 coords of
+    selection lo-1 (already pinned); tin_ref/tout_ref [R, Ns] f32
+    aliased density state; last_ref [R, 4] f32 out = coords of
+    selection hi-1 (pinned at exit).
+
+    Density update in exp2 dot-product form: the per-step N-wide work
+      weight * exp(-|p - s|^2 / t)
+    becomes
+      exp2(x*ax + y*ay + z*az + (bias - c))
+    with loop-invariant per-lane bias = log2(weight) - |p|^2*inv_t*l2e
+    (the 2x heavy-point weight of MDS_cuda.cu:130 is EXACTLY a +1 in
+    the exp2 argument; bias is precomputed OUTSIDE the kernel, in
+    XLA, and rides the compaction sort — keeping it out of scoped
+    VMEM headroom) and per-step scalars ax = 2*sx*inv_t*l2e,
+    c = |s|^2*inv_t*l2e from the selected point s. This trades the
+    subtract-square-accumulate (8 N-wide ops) + exp + weight-mul for
+    3 fma + 2 add + exp2 per lane-step. The dot form rounds
+    differently from the reference's |p-s|^2 (cancellation for near
+    neighbors ~1e-5 relative on the exp2 argument); selection flips on
+    near-ties are within the same tolerance envelope as on-device
+    exp() ulp drift (see module docstring / test header) — measured
+    99.8% index agreement vs the XLA reference on hardware
+    (scripts/profile_mds_prod.py).
     """
     r, n = tin_ref.shape
-    x = xyz_ref[0]
-    y = xyz_ref[1]
-    z = xyz_ref[2]
+    x = xyz_ref[0].astype(jnp.float32)
+    y = xyz_ref[1].astype(jnp.float32)
+    z = xyz_ref[2].astype(jnp.float32)
     inv_t = 1.0 / t_ref[:].astype(jnp.float32)
+    l2e = jnp.float32(1.4426950408889634)  # log2(e)
+    kde = inv_t * l2e                                         # [R, 1]
+    bias = bias_ref[:]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
-    weight = jnp.where(orig_ref[:] >= _HEAVY_FROM, 2.0, 1.0
-                       ).astype(jnp.float32)
 
     def coords_at(nxt):
         """Coordinates of per-row point nxt[r] via one-hot row
         reductions. (A 128-lane dynamic-slice variant was ablated and is
         ~36% SLOWER on v5e — per-row dynamic addressing serializes;
         scripts/profile_mds.py v2 dyncoord=True vs False.)"""
-        sel = (lane == nxt[:, None]).astype(x.dtype)
+        sel = (lane == nxt[:, None]).astype(jnp.float32)
         return (jnp.sum(x * sel, axis=1, keepdims=True),
                 jnp.sum(y * sel, axis=1, keepdims=True),
                 jnp.sum(z * sel, axis=1, keepdims=True))
 
     def body(j, carry):
-        prev_idx, last_x, last_y, last_z = carry             # [R], [R,1]x3
-        dx = x - last_x
-        dy = y - last_y
-        dz = z - last_z
-        d2 = (dx * dx + dy * dy + dz * dz).astype(jnp.float32)
+        prev_idx, sx, sy, sz = carry                   # [R], [R,1]x3
+        ax = sx * (2.0 * kde)
+        ay = sy * (2.0 * kde)
+        az = sz * (2.0 * kde)
+        c = (sx * sx + sy * sy + sz * sz) * kde
+        arg = x * ax + y * ay + z * az + (bias - c)
         told = tin_ref[:]
-        add = jnp.where(told >= _BIGBASE, 0.0,
-                        weight * jnp.exp(-d2 * inv_t))
+        add = jnp.where(told >= _BIGBASE, 0.0, jnp.exp2(arg))
         # the carried index was selected at step j-1; pin it now
         temp = jnp.where(lane == prev_idx[:, None],
                          jnp.float32(_BIGBASE) + (j - 1).astype(jnp.float32),
@@ -106,23 +127,21 @@ def _stage_kernel(lo: int, hi: int,
     # selection lo-1 is already pinned (previous stage exit / init):
     # start from the -1 sentinel so the first iteration pins nothing
     init = (jnp.full((r,), -1, jnp.int32),
-            prev_ref[:, 0:1].astype(x.dtype),
-            prev_ref[:, 1:2].astype(x.dtype),
-            prev_ref[:, 2:3].astype(x.dtype))
+            prev_ref[:, 0:1].astype(jnp.float32),
+            prev_ref[:, 1:2].astype(jnp.float32),
+            prev_ref[:, 2:3].astype(jnp.float32))
     nxt, lx, ly, lz = jax.lax.fori_loop(lo, hi, body, init)
 
     # pin the final selection (step hi-1) and emit its coords
     tout_ref[:] = jnp.where(lane == nxt[:, None],
                             jnp.float32(_BIGBASE + hi - 1), tin_ref[:])
     last_ref[:] = jnp.concatenate(
-        [lx.astype(jnp.float32), ly.astype(jnp.float32),
-         lz.astype(jnp.float32),
-         jnp.zeros((r, 1), jnp.float32)], axis=1)
+        [lx, ly, lz, jnp.zeros((r, 1), jnp.float32)], axis=1)
 
 
-def _run_stage(lo, hi, xyz_t, orig, t, prev, temp, interpret):
+def _run_stage(lo, hi, xyz_t, bias, t, prev, temp, interpret):
     import os
-    b, ns = orig.shape
+    b, ns = bias.shape
     # Row-block sizing: larger blocks amortize the per-step fixed cost
     # (loop control + reduction latency; R=16 measured ~8% over R=8).
     # Block-size ceilings are anchored in measured scoped-VMEM outcomes
@@ -168,7 +187,7 @@ def _run_stage(lo, hi, xyz_t, orig, t, prev, temp, interpret):
         ],
         input_output_aliases={4: 0},
         interpret=interpret,
-    )(xyz_t, orig, t, prev, temp)
+    )(xyz_t, bias, t, prev, temp)
     return temp_out, last
 
 
@@ -195,6 +214,13 @@ def mds_pallas(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
 
     lane = jnp.arange(n_pad, dtype=jnp.int32)[None, :]
     orig = jnp.broadcast_to(lane, (b, n_pad))
+    # loop-invariant exp2 bias (see _stage_kernel): log2(weight) -
+    # |p|^2 * inv_t * log2(e), computed here in f32 (pre-FAST_MATH cast)
+    # so it does not consume kernel headroom; padding lanes are inert
+    # (temp = _PADBASE forces their add to 0 regardless of bias)
+    kde_rows = jnp.float32(1.4426950408889634) / t            # [B, 1]
+    px2 = jnp.sum(jnp.square(xyz_t.astype(jnp.float32)), axis=0)  # [B, N]
+    bias = jnp.where(orig >= _HEAVY_FROM, 1.0, 0.0) - px2 * kde_rows
     temp = jnp.where(lane >= n, jnp.float32(_PADBASE), 0.0)
     temp = jnp.where(lane == 0, jnp.float32(_BIGBASE), temp)   # step 0
     temp = jnp.broadcast_to(temp, (b, n_pad))
@@ -214,7 +240,7 @@ def mds_pallas(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
 
     lo = bounds[0]
     for hi in bounds[1:]:
-        temp, last = _run_stage(lo, hi, xyz_t, orig, t, prev, temp,
+        temp, last = _run_stage(lo, hi, xyz_t, bias, t, prev, temp,
                                 interpret)
         prev = last
 
@@ -239,11 +265,12 @@ def mds_pallas(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
         lane_cur = jnp.broadcast_to(
             jnp.arange(ns, dtype=jnp.int32)[None], (b, ns))
         key = jnp.where(temp >= _BIGBASE, jnp.int32(1 << 20), 0) + lane_cur
-        _, temp, orig, xs, ys, zs = jax.lax.sort(
-            (key, temp, orig, xyz_t[0], xyz_t[1], xyz_t[2]),
+        _, temp, orig, bias, xs, ys, zs = jax.lax.sort(
+            (key, temp, orig, bias, xyz_t[0], xyz_t[1], xyz_t[2]),
             dimension=-1, num_keys=1)
         temp = temp[:, :ns_next]
         orig = orig[:, :ns_next]
+        bias = bias[:, :ns_next]
         xyz_t = jnp.stack([xs[:, :ns_next], ys[:, :ns_next],
                            zs[:, :ns_next]])
         lo = hi
