@@ -143,14 +143,17 @@ def _run_stage(lo, hi, xyz_t, bias, t, prev, temp, interpret):
     import os
     b, ns = bias.shape
     # Row-block sizing: larger blocks amortize the per-step fixed cost
-    # (loop control + reduction latency; R=16 measured ~8% over R=8).
-    # Block-size ceilings are anchored in measured scoped-VMEM outcomes
-    # (usage is affine in r*ns with a large constant, not a clean
-    # per-tile multiple): with grid > 1 Mosaic double-buffers in/out
-    # blocks — [16, 19456] (318k elems) compiles at 15.3 MB while
-    # [32, 11264] (352k) OOMs at 16.4 MB; at grid = 1 (whole batch in
-    # one program) [32, 15360] (491k) is known good.
-    limit_g1 = int(os.environ.get("MDS_BLOCK_ELEMS_G1", str(512 * 1024)))
+    # (the greedy chain update -> argmin -> coords is latency-bound, so
+    # wider row blocks raise throughput at nearly constant step latency;
+    # R=16 measured ~8% over R=8, R=32-in-one-program ~1.3x over
+    # 2x R=16 — see git history / scripts/profile_mds_prod.py).
+    # Mosaic's DEFAULT scoped-VMEM budget (~16 MB) is what used to cap
+    # R: [16, 19456] compiled at 15.3 MB while [32, 11264] OOMed at
+    # 16.4 MB. v5e physically has 128 MB VMEM, so we raise the budget
+    # via CompilerParams(vmem_limit_bytes) and size blocks to the full
+    # batch whenever it fits the raised budget.
+    vmem_mb = int(os.environ.get("MDS_VMEM_MB", "96"))
+    limit_g1 = int(os.environ.get("MDS_BLOCK_ELEMS_G1", str(2048 * 1024)))
     limit = int(os.environ.get("MDS_BLOCK_ELEMS", str(320 * 1024)))
 
     def fits(r):
@@ -186,6 +189,8 @@ def _run_stage(lo, hi, xyz_t, bias, t, prev, temp, interpret):
             jax.ShapeDtypeStruct((b, 4), jnp.float32),
         ],
         input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
         interpret=interpret,
     )(xyz_t, bias, t, prev, temp)
     return temp_out, last
