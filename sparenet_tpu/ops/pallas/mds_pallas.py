@@ -7,15 +7,16 @@ and outputs VMEM-resident, and the greedy step is ONE fused elementwise
 pass over the [R, N] row block:
 
   * the selection step of each point is encoded INSIDE the density
-    vector: a selected lane is pinned to 2^23 + step (exactly
+    vector: a selected lane is pinned to 2^40 + step*2^17 (exactly
     representable in f32, far above any reachable real density and far
-    below the 2^24 padding sentinel), so there is no separate [R, N]
+    below the 2^45 padding sentinel), so there is no separate [R, N]
     step-map write per step — per-stage decode passes recover the map;
   * pinning happens lazily at the START of the next step (fused into
-    the density update via the carried selection index), and a
-    >= 2^23 guard keeps contributions out of pinned/padding lanes
-    (the reference achieves the same through f32 rounding against 1e9,
-    MDS_cuda.cu:114-133);
+    the density update via the carried selection index); per-step
+    density adds (<= 2) to pinned/padding lanes round away EXACTLY
+    against the 2^40-based values (ulp = 2^17), so the update needs no
+    masking guard at all (the reference achieves the same through f32
+    rounding against 1e9, MDS_cuda.cu:114-133);
   * the selected point's coordinates are fetched with full-row one-hot
     reductions (a 128-lane dynamic-slice variant was ablated ~36%
     slower), and the density update runs in exp2 dot-product form with
@@ -50,8 +51,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .reduce import argmin_lanes
 
 _HEAVY_FROM = 8192
-_BIGBASE = float(2 ** 23)   # pinned-lane encoding base: 2^23 + step is exact
-_PADBASE = float(2 ** 24)   # padding lanes: always above any pinned value
+# Pinned-lane encoding: pin value = 2^40 + step * 2^17. ulp(2^40) = 2^17
+# and the per-step density add is <= weight <= 2 << 2^16 = ulp/2, so
+# round-to-nearest makes `pinned + add == pinned` EXACTLY — no masking
+# guard is needed in the update pass (the old 2^23+step encoding needed
+# a `told >= BIGBASE` select every step because ulp(2^23) = 1).
+# step < 2^14 so step * 2^17 <= 2^31 stays inside the 23-bit mantissa;
+# encode/decode are exact f32 arithmetic.
+_BIGBASE = float(2 ** 40)   # pinned-lane encoding base
+_STEP_SCALE = float(2 ** 17)
+_PADBASE = float(2 ** 45)   # padding lanes: always above any pinned value
 _STAGE_LEN = 4096           # greedy steps per compaction stage
 
 
@@ -114,11 +123,15 @@ def _stage_kernel(lo: int, hi: int,
         c = (sx * sx + sy * sy + sz * sz) * kde
         arg = x * ax + y * ay + z * az + (bias - c)
         told = tin_ref[:]
-        add = jnp.where(told >= _BIGBASE, 0.0, jnp.exp2(arg))
+        # no pinned/padding guard: adds (<= 2) round away exactly
+        # against the 2^40-based pin values (see encoding note above)
+        add = jnp.exp2(arg)
         # the carried index was selected at step j-1; pin it now
-        temp = jnp.where(lane == prev_idx[:, None],
-                         jnp.float32(_BIGBASE) + (j - 1).astype(jnp.float32),
-                         told + add)
+        temp = jnp.where(
+            lane == prev_idx[:, None],
+            jnp.float32(_BIGBASE) +
+            (j - 1).astype(jnp.float32) * jnp.float32(_STEP_SCALE),
+            told + add)
         tin_ref[:] = temp
         nxt = argmin_lanes(temp).astype(jnp.int32)           # [R]
         nx, ny, nz = coords_at(nxt)
@@ -133,8 +146,9 @@ def _stage_kernel(lo: int, hi: int,
     nxt, lx, ly, lz = jax.lax.fori_loop(lo, hi, body, init)
 
     # pin the final selection (step hi-1) and emit its coords
-    tout_ref[:] = jnp.where(lane == nxt[:, None],
-                            jnp.float32(_BIGBASE + hi - 1), tin_ref[:])
+    tout_ref[:] = jnp.where(
+        lane == nxt[:, None],
+        jnp.float32(_BIGBASE + (hi - 1) * _STEP_SCALE), tin_ref[:])
     last_ref[:] = jnp.concatenate(
         [lx, ly, lz, jnp.zeros((r, 1), jnp.float32)], axis=1)
 
@@ -222,7 +236,7 @@ def mds_pallas(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
     # loop-invariant exp2 bias (see _stage_kernel): log2(weight) -
     # |p|^2 * inv_t * log2(e), computed here in f32 (pre-FAST_MATH cast)
     # so it does not consume kernel headroom; padding lanes are inert
-    # (temp = _PADBASE forces their add to 0 regardless of bias)
+    # (adds round away exactly against temp = _PADBASE = 2^45)
     kde_rows = jnp.float32(1.4426950408889634) / t            # [B, 1]
     px2 = jnp.sum(jnp.square(xyz_t.astype(jnp.float32)), axis=0)  # [B, N]
     bias = jnp.where(orig >= _HEAVY_FROM, 1.0, 0.0) - px2 * kde_rows
@@ -250,7 +264,8 @@ def mds_pallas(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
         prev = last
 
         # decode this stage's pins into the output (original indices)
-        step = (temp - _BIGBASE).astype(jnp.int32)
+        step = ((temp - _BIGBASE) *
+                jnp.float32(1.0 / _STEP_SCALE)).astype(jnp.int32)
         newly = (temp >= _BIGBASE) & (temp < _PADBASE) & \
                 (step >= max(lo - 1, 0)) & (step < hi)
         idx_out = idx_out.at[
