@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import pairwise_sqdist, pick_chunk
+from .common import pairwise_sqdist_graph, pick_chunk
 
 __all__ = ["knn_idx", "get_graph_feature"]
 
@@ -48,7 +48,7 @@ def _knn_one(x: jnp.ndarray, y: jnp.ndarray, k: int) -> jnp.ndarray:
     tiles = xp.reshape(-1, chunk, x.shape[1])
 
     def body(tile):
-        return _smallest_k(pairwise_sqdist(tile, y), k)
+        return _smallest_k(pairwise_sqdist_graph(tile, y), k)
 
     idx = jax.lax.map(body, tiles) if tiles.shape[0] > 1 else body(tiles[0])[None]
     return idx.reshape(-1, k)[:n].astype(jnp.int32)

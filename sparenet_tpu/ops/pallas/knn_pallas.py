@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..common import DISTANCE_PRECISION
+from ..common import graph_dot
 from .reduce import argmin_lanes
 
 _BIG = 1e30
@@ -41,11 +41,7 @@ def _knn_kernel(k: int, n_valid: int, x_ref, xt_ref, idx_ref, d_scr):
 
     y2 = jnp.sum(yt * yt, axis=0, keepdims=True)             # [1, N]
     x2 = jnp.sum(xq * xq, axis=1, keepdims=True)             # [Q, 1]
-    part = x2 + y2 - 2.0 * jax.lax.dot_general(
-        xq, yt, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=DISTANCE_PRECISION,
-    )
+    part = x2 + y2 - 2.0 * graph_dot(xq, yt)
 
     @pl.when(ci == 0)
     def _():
@@ -70,6 +66,56 @@ def _knn_kernel(k: int, n_valid: int, x_ref, xt_ref, idx_ref, d_scr):
                 jnp.float32(_BIG), d_scr[:])
 
 
+def _knn_onechunk_kernel(k: int, n_valid: int, x_ref, xt_ref, idx_ref):
+    """Single-c-chunk variant: the whole [C, N] xt stays VMEM-resident
+    across the q-tile axis (its block index is constant in qi, so Mosaic
+    fetches it once per batch item), and the distance tile is one
+    full-K MXU matmul — no per-chunk accumulate passes and no [N, N]
+    scratch. Ablations: the chunked kernel's cost scaled with C through
+    the scratch-accumulate passes, not DMA or matmul precision.
+    Grid: (batch, q_tiles)."""
+    xq = x_ref[0]                                            # [Q, C]
+    yt = xt_ref[0]                                           # [C, N]
+    q, n = xq.shape[0], yt.shape[1]
+
+    y2 = jnp.sum(yt * yt, axis=0, keepdims=True)             # [1, N]
+    x2 = jnp.sum(xq * xq, axis=1, keepdims=True)             # [Q, 1]
+    d = x2 + y2 - 2.0 * graph_dot(xq, yt)
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+    d = jnp.where(lane_n >= n_valid, jnp.float32(_BIG), d)
+    for j in range(k):
+        i = argmin_lanes(d).astype(jnp.int32)                # [Q]
+        idx_ref[0, j, :] = i
+        d = jnp.where(lane_n == i[:, None], jnp.float32(_BIG), d)
+
+
+def _knn_onechunk(xp, xt, k, n, n_pad, c_pad, interpret):
+    b = xp.shape[0]
+    q = 128 if n_pad >= 128 else n_pad
+    kernel = functools.partial(_knn_onechunk_kernel, k, n)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // q),
+        in_specs=[
+            pl.BlockSpec((1, q, c_pad), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad, n_pad), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, q), lambda bi, qi: (bi, 0, qi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, n_pad), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, xt)
+
+
+# ceilings for the single-chunk kernel: the [C, N] xt block must fit
+# VMEM alongside the q-tile and selection temporaries
+_ONECHUNK_MAX_ELEMS = 1024 * 8192
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def knn_self_pallas(x: jnp.ndarray, k: int, interpret: bool = False) -> jnp.ndarray:
     """Self-kNN indices for x [B, N, C] -> [B, N, k] int32 (includes self;
@@ -87,6 +133,10 @@ def knn_self_pallas(x: jnp.ndarray, k: int, interpret: bool = False) -> jnp.ndar
 
     xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, c_pad - c)))
     xt = jnp.transpose(xp, (0, 2, 1))                        # [B, C, N]
+
+    if c_pad * n_pad <= _ONECHUNK_MAX_ELEMS:
+        idx = _knn_onechunk(xp, xt, k, n, n_pad, c_pad, interpret)
+        return jnp.transpose(idx, (0, 2, 1))[:, :n]          # [B, N, k]
 
     kernel = functools.partial(_knn_kernel, k, n)
     idx = pl.pallas_call(
