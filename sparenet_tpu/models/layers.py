@@ -74,6 +74,7 @@ class EdgeConv1x1(nn.Module):
     """
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, idx):
@@ -82,9 +83,17 @@ class EdgeConv1x1(nn.Module):
                             (2 * c, self.features), jnp.float32)
         g1 = x @ kernel[:c]                               # x W1 [B,N,out]
         g2 = x @ kernel[c:]                               # x W2
+        diff = g2 - g1
+        if self.dtype is not None:
+            # serving mode: the neighbor gather is row-rate/bandwidth
+            # bound on TPU (random [1, C] rows from HBM); bf16 rows
+            # halve the traffic. The matmuls and the x W2 - x W1
+            # difference stay f32.
+            g1 = g1.astype(self.dtype)
+            diff = diff.astype(self.dtype)
         gj = jnp.take_along_axis(
             g1[:, :, None, :], idx[..., None], axis=1)    # [B,N,k,out]
-        return gj + (g2 - g1)[:, :, None, :]
+        return gj + diff[:, :, None, :]
 
 
 def batch_norm_1d(train: bool, name: str | None = None) -> nn.BatchNorm:
@@ -98,10 +107,12 @@ def batch_norm_1d(train: bool, name: str | None = None) -> nn.BatchNorm:
     )
 
 
-def batch_norm_2d(train: bool, name: str | None = None) -> nn.BatchNorm:
+def batch_norm_2d(train: bool, name: str | None = None,
+                  dtype: Any = None) -> nn.BatchNorm:
     """torch BatchNorm2d/3d parity (scale init 1)."""
     return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,
+        dtype=dtype,
     )
 
 
@@ -172,11 +183,13 @@ class SELayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         axes = tuple(range(1, x.ndim - 1))
-        y = jnp.mean(x, axis=axes)                         # [B, C]
+        # SE scale math stays f32 (tiny); only the final broadcast
+        # multiply runs in x's dtype (bf16 under serving mode)
+        y = jnp.mean(x.astype(jnp.float32), axis=axes)     # [B, C]
         y = Linear(self.channel // self.reduction, use_bias=False)(y)
         y = nn.relu(y)
         y = Linear(self.channel, use_bias=False)(y)
-        y = nn.sigmoid(y)
+        y = nn.sigmoid(y).astype(x.dtype)
         return x * y.reshape(y.shape[0:1] + (1,) * (x.ndim - 2) + y.shape[1:2])
 
 
@@ -233,14 +246,21 @@ class EdgeConvResFeat(nn.Module):
         train = self.train
         h = self.hide_size
 
+        # serving mode (eval + fast math): the [B, N, k, C] edge-tensor
+        # chain runs in bf16 — it is HBM-traffic bound (measured ~24%
+        # of stage time saved); stage outputs return to f32 so the
+        # residual adds, concat and conv5 tail keep full precision
+        from ..ops import common as _opc
+        edt = jnp.bfloat16 if (_opc.FAST_MATH and not train) else None
+
         def stage(feat, out_ch, idx):
             nbr = knn_idx(feat, k=self.k)                  # [B,N,k]
-            e = EdgeConv1x1(out_ch)(feat, nbr)             # [B,N,k,out]
-            e = batch_norm_2d(train)(e)
+            e = EdgeConv1x1(out_ch, dtype=edt)(feat, nbr)  # [B,N,k,out]
+            e = batch_norm_2d(train, dtype=edt)(e)
             if self.use_selayer:
                 e = SELayer(out_ch)(e)
             e = nn.leaky_relu(e, negative_slope=0.2)
-            return jnp.max(e, axis=2)                      # [B,N,out_ch]
+            return jnp.max(e, axis=2).astype(jnp.float32)  # [B,N,out_ch]
 
         x1 = stage(x, h // 16, 1)
 
