@@ -48,9 +48,13 @@ def _round_bids(xyz1, xyz2, price, unassigned):
     xp = jnp.pad(xyz1, ((0, pad), (0, 0)))
     tiles = xp.reshape(-1, tile, 3)
 
+    # fold the constant into the per-object row once: v = (3 - price) - d
+    # (one fewer full-width pass per tile than 3.0 - d - price)
+    pp = 3.0 - price
+
     def body(tl):
         d = jnp.sqrt(pairwise_sqdist(tl, xyz2))
-        v = 3.0 - d - price[None, :]
+        v = pp[None, :] - d
         # top-2 via two masked max passes (faster than lax.top_k on TPU;
         # first-occurrence argmax matches the CUDA scan order)
         best_i = jnp.argmax(v, axis=-1)

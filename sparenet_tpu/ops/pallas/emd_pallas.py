@@ -8,10 +8,12 @@ streams object chunks, computes distances + values on the fly, and
 maintains a running top-2 (best value, best object, second value), so
 per-round HBM traffic drops to the point/price vectors (~1 MB).
 
-Semantics match `_round_bids` exactly: value = 3 - ||x1_i - x2_j|| -
-price[j]; best object = first-occurrence argmax (lowest object index on
-ties); second best = max over the remaining objects (equal value at a
-different index counts). Distances use coordinate differences in f32
+Semantics match `_round_bids` exactly: value = (3 - price[j]) -
+||x1_i - x2_j|| (the constant is folded into the per-object row
+outside the kernel — one fewer full-width pass per chunk); best object
+= first-occurrence argmax (lowest object index on ties); second best =
+max over the remaining objects (equal value at a different index
+counts). Distances use coordinate differences in f32
 (HIGHEST-precision parity mode of ops/common.py).
 
 Reference: cuda/emd/emd_cuda.cu:95-179 (Bid kernel, shared-memory tiled
@@ -50,12 +52,12 @@ def _bid_kernel(n: int, oc: int, x1_ref, x2_ref, price_ref, tgt_ref, inc_ref):
         bx = x2_ref[0, 0:1, pl.ds(off, _OC)]                  # [1, OC]
         by = x2_ref[0, 1:2, pl.ds(off, _OC)]
         bz = x2_ref[0, 2:3, pl.ds(off, _OC)]
-        pr = price_ref[0, 0:1, pl.ds(off, _OC)]
+        pr = price_ref[0, 0:1, pl.ds(off, _OC)]               # 3 - price
         dx = a1x - bx                                         # [BT, OC]
         dy = a1y - by
         dz = a1z - bz
         d2 = dx * dx + dy * dy + dz * dz
-        v = 3.0 - jnp.sqrt(d2) - pr
+        v = pr - jnp.sqrt(d2)
 
         cb = jnp.max(v, axis=1, keepdims=True)                # [BT, 1]
         lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
@@ -116,5 +118,5 @@ def emd_bids_pallas(xyz1, xyz2, price, bt: int = _BT, oc: int = _OC,
             jax.ShapeDtypeStruct((b, m, 1), jnp.float32),
         ),
         interpret=interpret,
-    )(xyz1, x2t, price[:, None, :])
+    )(xyz1, x2t, (3.0 - price)[:, None, :])
     return tgt[..., 0], inc[..., 0]
