@@ -163,3 +163,51 @@ def test_chamfer_nn_pallas_tie_break(rng):
     x = jnp.asarray(y[:, 20:21, :])
     i_pal = nn_idx_pallas(x, jnp.asarray(y), interpret=True)
     assert int(i_pal[0, 0]) == 20
+
+
+def test_knn_pallas_onechunk_matches_xla(rng):
+    from sparenet_tpu.ops.pallas.knn_pallas import knn_self_pallas
+    from sparenet_tpu.ops.knn import _knn_one
+
+    x = jnp.asarray(rng.rand(2, 300, 20) - 0.5, jnp.float32)
+    i_ref = np.asarray(jax.vmap(lambda p: _knn_one(p, p, 6))(x))
+    i_pal = np.asarray(knn_self_pallas(x, 6, interpret=True))
+    np.testing.assert_array_equal(i_pal, i_ref)
+
+
+def test_knn_pallas_chunked_fallback_matches_xla(rng, monkeypatch):
+    # force the multi-chunk kernel (normally only for large C*N shapes);
+    # distinct shape so the jit cache cannot reuse a one-chunk trace
+    from sparenet_tpu.ops.pallas import knn_pallas as kp
+    from sparenet_tpu.ops.knn import _knn_one
+
+    monkeypatch.setattr(kp, "_ONECHUNK_MAX_ELEMS", 0)
+    monkeypatch.setattr(kp, "_C_CHUNK", 128)
+    x = jnp.asarray(rng.rand(2, 260, 150) - 0.5, jnp.float32)
+    i_ref = np.asarray(jax.vmap(lambda p: _knn_one(p, p, 5))(x))
+    i_pal = np.asarray(kp.knn_self_pallas(x, 5, interpret=True))
+    np.testing.assert_array_equal(i_pal, i_ref)
+
+
+def test_knn_pallas_duplicate_point_tie_break(rng):
+    from sparenet_tpu.ops.pallas.knn_pallas import knn_self_pallas
+
+    y = np.asarray(rng.rand(1, 384, 3), np.float32)
+    y[0, 300] = y[0, 7]
+    y[0, 41] = y[0, 7]
+    i_pal = np.asarray(knn_self_pallas(jnp.asarray(y), 3, interpret=True))
+    # neighbors of the duplicated point: lowest indices first (7, 41, 300)
+    assert list(i_pal[0, 7][:2]) == [7, 41]
+    assert list(i_pal[0, 300][:2]) == [7, 41]
+
+
+def test_mds_pallas_multirow_grid(rng, monkeypatch):
+    # force r < b (grid > 1, double-buffered row blocks); distinct shape
+    # so the jit cache cannot reuse a full-batch trace
+    monkeypatch.setenv("MDS_BLOCK_ELEMS", "1000")
+    monkeypatch.setenv("MDS_BLOCK_ELEMS_G1", "1000")
+    x = jnp.asarray(rng.rand(4, 640, 3) - 0.5, jnp.float32)
+    mml = jnp.asarray([0.05, 0.1, 0.2, 0.07], jnp.float32)
+    i_ref = np.asarray(minimum_density_sample(x, 128, mml, impl="xla"))
+    i_pal = np.asarray(mds_pallas(x, 128, mml, interpret=True))
+    np.testing.assert_array_equal(i_pal, i_ref)
