@@ -164,9 +164,15 @@ def expansion_pallas(xyz: jnp.ndarray, primitive_size: int,
     xyz_t = jnp.moveaxis(xyz, -1, 0)
     xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, s_pad - s)))
 
-    # ~12 live [R, S] tiles incl. Mosaic's double-buffered blocks
+    # ~12 live [R, S] tiles incl. Mosaic's double-buffered blocks.
+    # The per-step MST chain is latency-bound at small row counts, so
+    # prefer the whole batch in ONE grid program (the raised
+    # vmem_limit_bytes below lifts Mosaic's ~16 MB default scoped
+    # budget that used to force r=128 / grid=8 at production shape).
+    import os
+    budget = int(os.environ.get("EXPANSION_VMEM_MB", "40")) * 1024 * 1024
     r = bp
-    while r > 8 and 13 * r * s_pad * 4 > 6 * 1024 * 1024:
+    while r > 8 and 13 * r * s_pad * 4 > budget:
         r //= 2
     while bp % r:
         r -= 1
@@ -199,6 +205,8 @@ def expansion_pallas(xyz: jnp.ndarray, primitive_size: int,
             pltpu.VMEM((r, s_pad), jnp.int32),     # top2
             pltpu.VMEM((r, s_pad), jnp.int32),     # down
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(xyz_t)
     return parent[:, :s], cost[:, :s], charged[:, :s]
