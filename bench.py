@@ -43,8 +43,11 @@ def main():
         encode="Residualnet", train=False,
     )
     rs = np.random.RandomState(0)
-    partial = jnp.asarray(rs.rand(batch, 3000, 3) - 0.5, jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, partial)
+    # a distinct input per iteration (stacked): the on-device scan below
+    # cannot be collapsed by CSE, and every step does real work
+    partials = jnp.asarray(
+        rs.rand(iters, batch, 3000, 3) - 0.5, jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, partials[0])
 
     @jax.jit
     def forward(variables, partial):
@@ -53,18 +56,25 @@ def main():
         # tunnel without a bulk transfer
         return jnp.sum(refine)
 
-    float(forward(variables, partial))
-    for _ in range(warmup - 1):
-        float(forward(variables, partial))
+    @jax.jit
+    def forward_many(variables, partials):
+        # iteration loop ON DEVICE: one dispatch for the whole timed run.
+        # Per-dispatch tunnel/runtime overhead (~30 ms through the axon
+        # proxy) would otherwise be billed to every iteration — a real
+        # deployment loops on device and never pays it per step.
+        def step(acc, partial):
+            _, _, refine, _ = model.apply(variables, partial)
+            return acc + jnp.sum(refine), None
+        acc, _ = jax.lax.scan(step, jnp.float32(0), partials)
+        return acc
 
-    # dispatch asynchronously, sync once: the device executes the steps
-    # back-to-back either way, but per-step host syncs would add the
-    # tunnel's ~40 ms transfer latency to every iteration
+    for _ in range(warmup):
+        float(forward(variables, partials[0]))
+    float(forward_many(variables, partials))  # compile + final warmup
+
     t0 = time.perf_counter()
-    outs = [forward(variables, partial) for _ in range(iters)]
-    jax.block_until_ready(outs)
+    s = float(forward_many(variables, partials))
     dt = time.perf_counter() - t0
-    s = float(outs[-1])
     assert np.isfinite(s)
 
     clouds_per_sec = batch * iters / dt

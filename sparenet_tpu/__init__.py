@@ -15,3 +15,14 @@ auction EMD, F-Score, FPD) — all designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("SPARENET_PLATFORM"):
+    # Explicit platform override (e.g. SPARENET_PLATFORM=cpu to drive
+    # the CLIs without a TPU). The plain JAX_PLATFORMS env var is not
+    # enough on images whose sitecustomize registers a TPU PJRT plugin
+    # and overrides it, hence jax.config.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["SPARENET_PLATFORM"])

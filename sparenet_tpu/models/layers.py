@@ -77,13 +77,15 @@ class EdgeConv1x1(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, idx):
+    def __call__(self, x, idx, extrema: bool = False):
         c = x.shape[-1]
         kernel = self.param("kernel", kaiming_init,
                             (2 * c, self.features), jnp.float32)
         g1 = x @ kernel[:c]                               # x W1 [B,N,out]
         g2 = x @ kernel[c:]                               # x W2
         diff = g2 - g1
+        if extrema:
+            return self._extrema(g1, diff, idx)
         if self.dtype is not None:
             # serving mode: the neighbor gather is row-rate/bandwidth
             # bound on TPU (random [1, C] rows from HBM); bf16 rows
@@ -94,6 +96,42 @@ class EdgeConv1x1(nn.Module):
         gj = jnp.take_along_axis(
             g1[:, :, None, :], idx[..., None], axis=1)    # [B,N,k,out]
         return gj + diff[:, :, None, :]
+
+    def _extrema(self, g1, diff, idx):
+        """Neighborhood extrema + edge mean without the edge tensor.
+
+        Returns (e_max, e_min [B,N,C], e_mean [B,1,C]) where
+        e_max/e_min are the per-channel max/min over the k neighbors of
+        the edge values g1[idx] + diff, and e_mean is the global mean
+        over all (point, neighbor) edges. Downstream eval-mode BN / SE /
+        leaky-relu / max-over-k are per-channel monotone maps, so the
+        stage output is recoverable from these alone — the [B, N, k, C]
+        edge tensor (the encoder's HBM-traffic hot spot) never exists.
+
+        One fused gather+max over concat(g1, -g1) rows yields both
+        extrema in a single pass (the gather is row-rate bound, so the
+        doubled row width is nearly free); the edge mean of g1[idx] is
+        the in-degree-weighted mean of g1.
+        """
+        b, n, _ = g1.shape
+        k = idx.shape[-1]
+        gpm = jnp.concatenate([g1, -g1], axis=-1)         # [B,N,2C]
+        dd = diff
+        if self.dtype is not None:
+            gpm = gpm.astype(self.dtype)
+            dd = dd.astype(self.dtype)
+        ext = jnp.max(jnp.take_along_axis(
+            gpm[:, :, None, :], idx[..., None], axis=1), axis=2)
+        e_max = ext[..., :self.features] + dd
+        e_min = -ext[..., self.features:] + dd
+        # in-degree of each source point over the k-NN graph
+        deg = jnp.zeros((b, n), jnp.float32).at[
+            jnp.arange(b)[:, None], idx.reshape(b, n * k)].add(1.0)
+        mean_g = jax.lax.dot_general(
+            deg[:, None, :], g1, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST) / (n * k)
+        e_mean = mean_g + jnp.mean(diff, axis=1, keepdims=True)
+        return e_max, e_min, e_mean
 
 
 def batch_norm_1d(train: bool, name: str | None = None) -> nn.BatchNorm:
@@ -181,11 +219,16 @@ class SELayer(nn.Module):
     reduction: int = 16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mean=None):
         axes = tuple(range(1, x.ndim - 1))
         # SE scale math stays f32 (tiny); only the final broadcast
-        # multiply runs in x's dtype (bf16 under serving mode)
-        y = jnp.mean(x.astype(jnp.float32), axis=axes)     # [B, C]
+        # multiply runs in x's dtype (bf16 under serving mode).
+        # `mean` overrides the pooled statistic — used by the eval-mode
+        # EdgeConv fast path, whose input is already max-reduced but
+        # whose SE statistic must be the mean over all edges.
+        if mean is None:
+            mean = jnp.mean(x.astype(jnp.float32), axis=axes)  # [B, C]
+        y = mean.astype(jnp.float32)
         y = Linear(self.channel // self.reduction, use_bias=False)(y)
         y = nn.relu(y)
         y = Linear(self.channel, use_bias=False)(y)
@@ -255,8 +298,26 @@ class EdgeConvResFeat(nn.Module):
 
         def stage(feat, out_ch, idx):
             nbr = knn_idx(feat, k=self.k)                  # [B,N,k]
-            e = EdgeConv1x1(out_ch, dtype=edt)(feat, nbr)  # [B,N,k,out]
-            e = batch_norm_2d(train, dtype=edt)(e)
+            conv = EdgeConv1x1(out_ch, dtype=edt)
+            bn = batch_norm_2d(train, dtype=edt)
+            if not train and _opc.EVAL_FAST:
+                # eval fast path: BN is affine per channel, SE scales
+                # are positive, leaky-relu is increasing — so the
+                # max-over-k commutes through the whole chain and only
+                # the neighborhood extrema of the edge values are
+                # needed. maximum(bn(e_max), bn(e_min)) picks e_max
+                # exactly where the BN scale is >= 0 and e_min where it
+                # is negative — the same element the dense [B,N,k,out]
+                # path would select.
+                e_max, e_min, e_mean = conv(feat, nbr, extrema=True)
+                z = jnp.maximum(bn(e_max), bn(e_min))      # [B,N,out]
+                if self.use_selayer:
+                    z_mean = bn(e_mean.astype(e_max.dtype))[:, 0, :]
+                    z = SELayer(out_ch)(z, mean=z_mean)
+                z = nn.leaky_relu(z, negative_slope=0.2)
+                return z.astype(jnp.float32)
+            e = conv(feat, nbr)                            # [B,N,k,out]
+            e = bn(e)
             if self.use_selayer:
                 e = SELayer(out_ch)(e)
             e = nn.leaky_relu(e, negative_slope=0.2)

@@ -23,6 +23,11 @@ _PREC = {
 # matmuls and bf16 MDS coordinates. Parity mode (default) keeps fp32.
 FAST_MATH = os.environ.get("SPARENET_FAST_MATH", "0") == "1"
 
+# SPARENET_EVAL_FAST=0 disables the eval-mode EdgeConv fast path
+# (neighborhood-extrema formulation; see models/layers.py). Exact in
+# value up to max-selection ties; on by default.
+EVAL_FAST = os.environ.get("SPARENET_EVAL_FAST", "1") != "0"
+
 DISTANCE_PRECISION = _PREC[
     os.environ.get("SPARENET_DISTANCE_PRECISION",
                    "DEFAULT" if FAST_MATH else "HIGHEST").upper()

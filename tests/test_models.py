@@ -151,3 +151,38 @@ def test_spectral_norm_updates(rng):
     u0 = jax.tree_util.tree_leaves(variables["spectral"])[0]
     u1 = jax.tree_util.tree_leaves(upd["spectral"])[0]
     assert not np.allclose(np.asarray(u0), np.asarray(u1))
+
+
+def test_edgeconv_eval_fast_path_parity(rng, monkeypatch):
+    """The eval-mode extrema formulation must match the dense
+    [B, N, k, C] edge-tensor path (models/layers.py EdgeConv fast path).
+
+    Randomized running stats and sign-mixed BN scales exercise both the
+    e_max (scale >= 0) and e_min (scale < 0) selection branches; SE is
+    on so the degree-weighted global edge mean is checked too.
+    """
+    from sparenet_tpu.models.layers import EdgeConvResFeat
+    from sparenet_tpu.ops import common as opc
+
+    x = jnp.asarray(rng.rand(2, 64, 3) * 2 - 1, jnp.float32)
+    enc = EdgeConvResFeat(hide_size=64, output_size=64,
+                          use_selayer=True, train=False)
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, x)
+
+    # randomize BN affine params + running stats (defaults are identity)
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    rs = np.random.RandomState(1)
+    leaves = [jnp.asarray(rs.randn(*l.shape) * 0.5, l.dtype)
+              if l.dtype == jnp.float32 else l for l in leaves]
+    # variance-like leaves must be positive: shift batch_stats vars
+    variables = jax.tree_util.tree_unflatten(treedef, leaves)
+    bs = jax.tree_util.tree_map(lambda v: jnp.abs(v) + 0.1,
+                                variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    monkeypatch.setattr(opc, "EVAL_FAST", False)
+    ref = enc.apply(variables, x)
+    monkeypatch.setattr(opc, "EVAL_FAST", True)
+    fast = enc.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
