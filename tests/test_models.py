@@ -153,6 +153,38 @@ def test_spectral_norm_updates(rng):
     assert not np.allclose(np.asarray(u0), np.asarray(u1))
 
 
+def test_sparenet_eval_fast_full_model_parity(rng, monkeypatch):
+    """EVAL_FAST must not change the full eval-mode SpareNet forward
+    (integration check on top of the encoder-level parity test)."""
+    from sparenet_tpu.ops import common as opc
+
+    partial = jnp.asarray(rng.rand(B, 64, 3), jnp.float32)
+    model = SpareNetGenerator(
+        num_points=N_OUT, n_primitives=PRIMS, bottleneck_size=128,
+        hide_size=128, use_adain="share", encode="Residualnet",
+        use_selayer=True, train=False,
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, partial)
+
+    monkeypatch.setattr(opc, "EVAL_FAST", False)
+    ref = model.apply(variables, partial)
+    monkeypatch.setattr(opc, "EVAL_FAST", True)
+    fast = model.apply(variables, partial)
+    # coarse (pre-refine) is a continuous function of the encoder and
+    # must match tightly; the refine stages run MDS, whose greedy
+    # argmin can flip on near-tied densities under ~1e-7 reassociation
+    # wobble (same envelope as documented for the exp2 dot-form Pallas
+    # kernel) — so downstream outputs are checked set-wise via chamfer
+    # rather than pointwise.
+    np.testing.assert_allclose(np.asarray(fast[0]), np.asarray(ref[0]),
+                               rtol=2e-5, atol=2e-5)
+    from sparenet_tpu.ops.chamfer import chamfer_distance
+    for a, b in zip(ref[1:3], fast[1:3]):
+        assert float(chamfer_distance(a, b)) < 1e-9
+    np.testing.assert_allclose(np.asarray(fast[3]), np.asarray(ref[3]),
+                               rtol=1e-4, atol=1e-7)
+
+
 def test_edgeconv_eval_fast_path_parity(rng, monkeypatch):
     """The eval-mode extrema formulation must match the dense
     [B, N, k, C] edge-tensor path (models/layers.py EdgeConv fast path).
