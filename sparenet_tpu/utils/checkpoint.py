@@ -43,9 +43,16 @@ def checkpoint_save(cfg, epoch_idx: int, metrics: Metrics,
 
 def checkpoint_load(cfg, state_template: Any, logger=None):
     """Restore (init_epoch, best_metrics, state) from cfg.CONST.weights
-    (utils/misc.py:54-77); returns (0, None, template) if unset."""
+    (utils/misc.py:54-77); returns (0, None, template) if unset.
+
+    A ``.pth`` path is treated as a REFERENCE checkpoint: the torch
+    ``net_G`` state_dict is converted in place of params/batch_stats
+    (optimizer state starts fresh — the reference never checkpoints it,
+    utils/misc.py:96-104)."""
     if not cfg.CONST.weights:
         return 0, None, state_template
+    if str(cfg.CONST.weights).endswith(".pth"):
+        return _load_reference_pth(cfg, state_template, logger)
     path = os.path.abspath(cfg.CONST.weights)
     payload = _ckptr().restore(
         path,
@@ -62,3 +69,42 @@ def checkpoint_load(cfg, state_template: Any, logger=None):
             % (payload["epoch_index"], best)
         )
     return payload["epoch_index"], best, payload["state"]
+
+
+def _load_reference_pth(cfg, state_template: Any, logger=None):
+    """Import a reference torch checkpoint (SpareNetGenerator only)."""
+    import torch
+
+    from .torch_import import convert_netG_state_dict
+
+    if cfg.NETWORK.model_type != "SpareNet":
+        raise NotImplementedError(
+            ".pth import is implemented for SpareNet generators; convert "
+            f"{cfg.NETWORK.model_type} weights via utils/torch_import.py")
+    payload = torch.load(os.path.abspath(cfg.CONST.weights),
+                         map_location="cpu", weights_only=True)
+    sd = payload.get("net_G", payload) if isinstance(payload, dict) \
+        else payload
+    variables = convert_netG_state_dict(
+        sd,
+        use_adain=cfg.NETWORK.use_adain,
+        encode=cfg.NETWORK.encode,
+        use_selayer=cfg.NETWORK.use_selayer,
+        n_primitives=cfg.NETWORK.n_primitives,
+    )
+    state = state_template.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"])
+    epoch = payload.get("epoch_index", 0) if isinstance(payload, dict) else 0
+    best = None
+    if isinstance(payload, dict) and "best_metrics" in payload:
+        bm = payload["best_metrics"]
+        bm = {k: float(v) for k, v in dict(bm).items()
+              if k in Metrics.names()}
+        if bm:
+            best = Metrics(cfg.TEST.metric_name,
+                           {n: bm.get(n, 0.0) for n in Metrics.names()})
+    if logger:
+        logger.info(
+            "Imported reference checkpoint %s (epoch #%d)."
+            % (cfg.CONST.weights, epoch))
+    return epoch, best, state

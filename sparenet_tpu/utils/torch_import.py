@@ -1,0 +1,302 @@
+"""Reference-checkpoint interop for SpareNetGenerator weights.
+
+Converts between the reference's torch ``net_G`` state_dict layout
+(models/sparenet_generator.py; saved as ``checkpoint["net_G"]`` by
+utils/misc.py:80-109, possibly under DataParallel's ``module.`` prefix)
+and this framework's flax ``{"params", "batch_stats"}`` variables — so
+pretrained reference checkpoints run here, and checkpoints trained here
+can be exported back into the reference's tooling.
+
+Layout rules (verified against the reference source):
+  - torch Linear weight [out, in]        <-> flax Dense kernel [in, out]
+  - torch 1x1 Conv1d/2d [out, in, 1(,1)] <-> flax Dense kernel [in, out]
+  - EdgeConv1x1 factorized kernel [2c, out] is exactly the transposed
+    1x1 Conv2d weight over edge features concat(x_j - x_i, x_i)
+    (models/sparenet_generator.py:880-906): rows [:c] multiply the diff
+    channels, rows [c:] the x_i channels.
+  - BatchNorm: weight/bias/running_mean/running_var <->
+    scale/bias + batch_stats mean/var.
+  - The reference's 32 per-primitive decoders (nn.ModuleList,
+    models/sparenet_generator.py:313-350) are one vmapped module here:
+    per-primitive tensors stack along a leading [P, ...] axis.
+
+Keys with no flax counterpart (ignored on import, synthesized with
+their reference defaults on export): the generator's unused top-level
+``conv1`` (models/sparenet_generator.py:43), PointNetRes's registered-
+but-unused ``bn7`` (:86, forward :645), AdaptiveInstanceNorm1d's dummy
+``running_mean/var`` buffers (:931-933), and every BN's
+``num_batches_tracked``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+
+__all__ = [
+    "convert_netG_state_dict",
+    "export_netG_state_dict",
+    "load_reference_checkpoint",
+]
+
+_DEC_BOTTLENECK = 1026
+
+
+# ---------------------------------------------------------------------------
+# value transforms (torch -> flax; each has an exact inverse)
+# ---------------------------------------------------------------------------
+
+def _np(v) -> np.ndarray:
+    if hasattr(v, "detach"):  # torch tensor
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _to_flax(kind: str, v: np.ndarray) -> np.ndarray:
+    if kind == "lin_w":
+        return v.T
+    if kind in ("conv1d_w", "conv2d_w"):
+        return v.reshape(v.shape[0], v.shape[1]).T
+    return v  # "id"
+
+
+def _to_torch(kind: str, v: np.ndarray) -> np.ndarray:
+    if kind == "lin_w":
+        return v.T
+    if kind == "conv1d_w":
+        return v.T[:, :, None]
+    if kind == "conv2d_w":
+        return v.T[:, :, None, None]
+    return v
+
+
+# ---------------------------------------------------------------------------
+# the mapping table
+# ---------------------------------------------------------------------------
+
+class _Rules:
+    """Accumulates (collection, flax_path, torch_key_template, kind,
+    stacked) entries; ``{p}`` in a template is the primitive index."""
+
+    def __init__(self):
+        self.entries: list[tuple[str, tuple[str, ...], str, str, bool]] = []
+
+    def add(self, col, fpath, tkey, kind, stacked=False):
+        self.entries.append((col, tuple(fpath), tkey, kind, stacked))
+
+    def dense(self, fpath, tkey, stacked=False, bias=True, kind="lin_w"):
+        self.add("params", fpath + ("kernel",), tkey + ".weight", kind,
+                 stacked)
+        if bias:
+            self.add("params", fpath + ("bias",), tkey + ".bias", "id",
+                     stacked)
+
+    def bn(self, fpath, tkey, stacked=False):
+        self.add("params", fpath + ("scale",), tkey + ".weight", "id",
+                 stacked)
+        self.add("params", fpath + ("bias",), tkey + ".bias", "id", stacked)
+        self.add("batch_stats", fpath + ("mean",), tkey + ".running_mean",
+                 "id", stacked)
+        self.add("batch_stats", fpath + ("var",), tkey + ".running_var",
+                 "id", stacked)
+
+    def se(self, fpath, tkey, stacked=False):
+        self.dense(fpath + ("Linear_0",), tkey + ".fc.0", stacked, bias=False)
+        self.dense(fpath + ("Linear_1",), tkey + ".fc.2", stacked, bias=False)
+
+
+def _grid_decoder_rules(r: _Rules, froot, troot, use_selayer, stacked):
+    """GridDecoder (models/sparenet_generator.py:962-1062, non-sine)."""
+    for i in range(4):
+        r.dense(froot + (f"Conv1d_{i}",), f"{troot}.conv{i + 1}",
+                stacked, kind="conv1d_w")
+    for i in range(3):
+        r.bn(froot + (f"BatchNorm_{i}",), f"{troot}.bn{i + 1}", stacked)
+        if use_selayer:
+            r.se(froot + (f"SELayer_{i}",), f"{troot}.se{i + 1}", stacked)
+
+
+def netG_rules(use_adain: str = "share", encode: str = "Residualnet",
+               use_selayer: bool = True) -> _Rules:
+    """The full SpareNetGenerator key mapping for one configuration."""
+    r = _Rules()
+
+    # --- encoder (SpareNetEncode, models/sparenet_generator.py:85-120)
+    if encode == "Residualnet":
+        f = ("encoder", "EdgeConvResFeat_0")
+        t = "encoder.feat_extractor"
+        for i in range(4):  # edge convs 1-4 (Conv2d over edge features)
+            r.dense(f + (f"EdgeConv1x1_{i}",), f"{t}.conv{i + 1}",
+                    bias=False, kind="conv2d_w")
+            r.bn(f + (f"BatchNorm_{i}",), f"{t}.bn{i + 1}")
+            if use_selayer:
+                r.se(f + (f"SELayer_{i}",), f"{t}.se{i + 1}")
+        for i in range(3):  # residual shortcuts
+            r.dense(f + (f"Conv1d_{i}",), f"{t}.resconv{i + 1}",
+                    bias=False, kind="conv1d_w")
+        r.dense(f + ("Conv1d_3",), f"{t}.conv5", bias=False, kind="conv1d_w")
+        r.bn(f + ("BatchNorm_4",), f"{t}.bn5")
+    else:  # Pointfeat (PointNetfeat, models/sparenet_generator.py:245-286)
+        f = ("encoder", "PointNetfeat_0")
+        t = "encoder.feat_extractor"
+        for i in range(3):
+            r.dense(f + (f"Conv1d_{i}",), f"{t}.conv{i + 1}",
+                    kind="conv1d_w")
+            r.bn(f + (f"BatchNorm_{i}",), f"{t}.bn{i + 1}")
+        if use_selayer:
+            for i in range(2):
+                r.se(f + (f"SELayer_{i}",), f"{t}.se{i + 1}")
+    r.dense(("encoder", "Linear_0"), "encoder.linear")
+    r.bn(("encoder", "BatchNorm_0"), "encoder.bn")
+
+    # --- decoder (SpareNetDecode, models/sparenet_generator.py:289-391)
+    if use_adain == "share":
+        r.dense(("decoder", "Linear_0"), "decoder.mlp.0")
+        r.dense(("decoder", "Linear_1"), "decoder.mlp.2")
+        _grid_decoder_rules(r, ("decoder", "VmapGridDecoder_0"),
+                            "decoder.decoder.{p}.dec", use_selayer, True)
+    elif use_adain == "no_share":
+        f = ("decoder", "Vmap_AdaInPointGenCon_0")
+        r.dense(f + ("Linear_0",), "decoder.decoder.{p}.mlp.0", True)
+        r.dense(f + ("Linear_1",), "decoder.decoder.{p}.mlp.2", True)
+        _grid_decoder_rules(r, f + ("GridDecoder_0",),
+                            "decoder.decoder.{p}.dec", use_selayer, True)
+    elif use_adain == "no_use":
+        f = ("decoder", "VmapPointGenCon_0")
+        t = "decoder.decoder.{p}"
+        for i in range(4):
+            r.dense(f + (f"Conv1d_{i}",), f"{t}.conv{i + 1}", True,
+                    kind="conv1d_w")
+        for i in range(3):
+            r.bn(f + (f"BatchNorm_{i}",), f"{t}.bn{i + 1}", True)
+            if use_selayer:
+                r.se(f + (f"SELayer_{i}",), f"{t}.se{i + 1}", True)
+    else:
+        raise ValueError(f"unknown use_adain mode {use_adain!r}")
+
+    # --- refine (shared between both passes; PointNetRes,
+    #     models/sparenet_generator.py:582-646)
+    f = ("refine", "PointNetRes_0")
+    t = "refine.residual"
+    for i in range(7):
+        r.dense(f + (f"Conv1d_{i}",), f"{t}.conv{i + 1}", kind="conv1d_w")
+    for i in range(6):  # bn7 is registered but unused in forward
+        r.bn(f + (f"BatchNorm_{i}",), f"{t}.bn{i + 1}")
+    if use_selayer:
+        for j, i in enumerate((1, 2, 4, 5, 6)):  # se3 does not exist
+            r.se(f + (f"SELayer_{j}",), f"{t}.se{i}")
+    return r
+
+
+# keys legitimately present in a reference state_dict with no flax
+# counterpart (see module docstring)
+_IGNORED = re.compile(
+    r"^(conv1\.(weight|bias)"
+    r"|refine\.residual\.bn7\..*"
+    r"|.*\.adain[0-9]\.(running_mean|running_var)"
+    r"|.*\.num_batches_tracked)$"
+)
+
+
+def _set(tree: dict, path: tuple, value) -> None:
+    for k in path[:-1]:
+        tree = tree.setdefault(k, {})
+    tree[path[-1]] = value
+
+
+def _get(tree: dict, path: tuple):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def convert_netG_state_dict(state_dict: dict, *, use_adain: str = "share",
+                            encode: str = "Residualnet",
+                            use_selayer: bool = True,
+                            n_primitives: int = 32,
+                            strict: bool = True) -> dict[str, Any]:
+    """torch ``net_G`` state_dict -> flax variables for
+    ``SpareNetGenerator`` (same config flags as the model).
+
+    Accepts torch tensors or numpy arrays; strips DataParallel's
+    ``module.`` prefix. With ``strict`` (default) raises on any key
+    that is neither mapped nor known-ignorable.
+    """
+    sd = {re.sub(r"^module\.", "", k): _np(v) for k, v in state_dict.items()}
+    out: dict[str, dict] = {"params": {}, "batch_stats": {}}
+    consumed = set()
+    for col, fpath, tkey, kind, stacked in netG_rules(
+            use_adain, encode, use_selayer).entries:
+        if stacked:
+            keys = [tkey.format(p=p) for p in range(n_primitives)]
+            v = np.stack([_to_flax(kind, sd[k]) for k in keys])
+            consumed.update(keys)
+        else:
+            v = _to_flax(kind, sd[tkey])
+            consumed.add(tkey)
+        _set(out[col], fpath, v.astype(np.float32))
+    if strict:
+        leftover = [k for k in sd
+                    if k not in consumed and not _IGNORED.match(k)]
+        if leftover:
+            raise ValueError(
+                f"unmapped reference keys (config mismatch?): {leftover[:8]}"
+                + ("..." if len(leftover) > 8 else ""))
+    return out
+
+
+def export_netG_state_dict(variables: dict, *, use_adain: str = "share",
+                           encode: str = "Residualnet",
+                           use_selayer: bool = True,
+                           n_primitives: int = 32) -> dict[str, np.ndarray]:
+    """flax ``SpareNetGenerator`` variables -> a state_dict the
+    reference's ``net_G.load_state_dict`` accepts (strict=True),
+    including its registered-but-unused tensors at their defaults."""
+    sd: dict[str, np.ndarray] = {}
+    bn_prefixes = set()
+    for col, fpath, tkey, kind, stacked in netG_rules(
+            use_adain, encode, use_selayer).entries:
+        v = np.asarray(_get(variables[col], fpath), np.float32)
+        if stacked:
+            for p in range(n_primitives):
+                sd[tkey.format(p=p)] = _to_torch(kind, v[p])
+        else:
+            sd[tkey] = _to_torch(kind, v)
+        if tkey.endswith(".running_var"):
+            bn_prefixes.add(tkey[: -len(".running_var")])
+
+    def _dummy_bn(prefix: str, nf: int, affine: bool = True):
+        if affine:
+            sd[f"{prefix}.weight"] = np.ones(nf, np.float32)
+            sd[f"{prefix}.bias"] = np.zeros(nf, np.float32)
+        sd[f"{prefix}.running_mean"] = np.zeros(nf, np.float32)
+        sd[f"{prefix}.running_var"] = np.ones(nf, np.float32)
+        bn_prefixes.add(prefix)
+
+    # unused-but-registered reference tensors
+    sd["conv1.weight"] = np.zeros((64, 3, 1), np.float32)
+    sd["conv1.bias"] = np.zeros(64, np.float32)
+    _dummy_bn("refine.residual.bn7", 3)
+    if use_adain in ("share", "no_share"):
+        b = _DEC_BOTTLENECK
+        for p in range(n_primitives):
+            for i, nf in enumerate((b, b // 2, b // 4)):
+                _dummy_bn(f"decoder.decoder.{p}.dec.adain{i + 1}", nf,
+                          affine=False)
+    for prefix in bn_prefixes:
+        if not prefix.endswith(tuple(f"adain{i}" for i in (1, 2, 3))):
+            sd[f"{prefix}.num_batches_tracked"] = np.zeros((), np.int64)
+    return sd
+
+
+def load_reference_checkpoint(path: str, **convert_kwargs) -> dict[str, Any]:
+    """Load a reference ``ckpt-*.pth`` (utils/misc.py:96-104 layout:
+    {epoch_index, best_metrics, net_G}) or a bare state_dict, and
+    convert the generator weights to flax variables."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=True)
+    sd = payload.get("net_G", payload) if isinstance(payload, dict) else payload
+    return convert_netG_state_dict(sd, **convert_kwargs)
