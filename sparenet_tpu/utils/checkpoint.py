@@ -75,23 +75,23 @@ def _load_reference_pth(cfg, state_template: Any, logger=None):
     """Import a reference torch checkpoint (SpareNetGenerator only)."""
     import torch
 
-    from .torch_import import convert_netG_state_dict
+    from .torch_import import _CONVERTERS
 
-    if cfg.NETWORK.model_type != "SpareNet":
+    mt = cfg.NETWORK.model_type
+    if mt not in _CONVERTERS:
         raise NotImplementedError(
-            ".pth import is implemented for SpareNet generators; convert "
-            f"{cfg.NETWORK.model_type} weights via utils/torch_import.py")
+            f".pth import is not implemented for {mt}; convert the "
+            "weights via utils/torch_import.py")
     payload = torch.load(os.path.abspath(cfg.CONST.weights),
                          map_location="cpu", weights_only=True)
     sd = payload.get("net_G", payload) if isinstance(payload, dict) \
         else payload
-    variables = convert_netG_state_dict(
-        sd,
-        use_adain=cfg.NETWORK.use_adain,
-        encode=cfg.NETWORK.encode,
-        use_selayer=cfg.NETWORK.use_selayer,
-        n_primitives=cfg.NETWORK.n_primitives,
-    )
+    kwargs = {"n_primitives": cfg.NETWORK.n_primitives}
+    if mt == "SpareNet":
+        kwargs.update(use_adain=cfg.NETWORK.use_adain,
+                      encode=cfg.NETWORK.encode,
+                      use_selayer=cfg.NETWORK.use_selayer)
+    variables = _CONVERTERS[mt](sd, **kwargs)
     state = state_template.replace(
         params=variables["params"], batch_stats=variables["batch_stats"])
     epoch = payload.get("epoch_index", 0) if isinstance(payload, dict) else 0

@@ -38,6 +38,10 @@ import numpy as np
 __all__ = [
     "convert_netG_state_dict",
     "export_netG_state_dict",
+    "convert_atlasnet_state_dict",
+    "export_atlasnet_state_dict",
+    "convert_msn_state_dict",
+    "export_msn_state_dict",
     "load_reference_checkpoint",
 ]
 
@@ -178,23 +182,70 @@ def netG_rules(use_adain: str = "share", encode: str = "Residualnet",
 
     # --- refine (shared between both passes; PointNetRes,
     #     models/sparenet_generator.py:582-646)
-    f = ("refine", "PointNetRes_0")
-    t = "refine.residual"
-    for i in range(7):
+    _pointnet_res_rules(r, ("refine", "PointNetRes_0"), "refine.residual",
+                        use_selayer)
+    return r
+
+
+def atlasnet_rules() -> _Rules:
+    """AtlasNet (models/atlasnet_generator.py:14-58): PointEncoder
+    (PointNetfeat hide=1024, no SE) + 32x PointGenCon(bottleneck 1026,
+    no SE) over random grids."""
+    r = _Rules()
+    _point_encoder_rules(r)
+    _point_gen_con_rules(r, ("VmapPointGenCon_0",), "decoder.{p}",
+                         use_selayer=False)
+    return r
+
+
+def msn_rules() -> _Rules:
+    """MSN (models/msn_generator.py:14-82): AtlasNet + PointNetRes
+    residual refiner (``res``, no SE)."""
+    r = atlasnet_rules()
+    _pointnet_res_rules(r, ("PointNetRes_0",), "res", use_selayer=False)
+    return r
+
+
+def _point_encoder_rules(r: _Rules):
+    """PointEncoder (models/atlasnet_generator.py:61-76)."""
+    f = ("PointEncoder_0", "PointNetfeat_0")
+    t = "encoder.feat_extractor"
+    for i in range(3):
         r.dense(f + (f"Conv1d_{i}",), f"{t}.conv{i + 1}", kind="conv1d_w")
-    for i in range(6):  # bn7 is registered but unused in forward
         r.bn(f + (f"BatchNorm_{i}",), f"{t}.bn{i + 1}")
+    r.dense(("PointEncoder_0", "Linear_0"), "encoder.linear")
+    r.bn(("PointEncoder_0", "BatchNorm_0"), "encoder.bn")
+
+
+def _point_gen_con_rules(r: _Rules, froot, troot, use_selayer):
+    """PointGenCon (models/sparenet_generator.py:463-527)."""
+    for i in range(4):
+        r.dense(froot + (f"Conv1d_{i}",), f"{troot}.conv{i + 1}", True,
+                kind="conv1d_w")
+    for i in range(3):
+        r.bn(froot + (f"BatchNorm_{i}",), f"{troot}.bn{i + 1}", True)
+        if use_selayer:
+            r.se(froot + (f"SELayer_{i}",), f"{troot}.se{i + 1}", True)
+
+
+def _pointnet_res_rules(r: _Rules, froot, troot, use_selayer):
+    """PointNetRes (models/sparenet_generator.py:582-646); bn7 is
+    registered but unused in forward."""
+    for i in range(7):
+        r.dense(froot + (f"Conv1d_{i}",), f"{troot}.conv{i + 1}",
+                kind="conv1d_w")
+    for i in range(6):
+        r.bn(froot + (f"BatchNorm_{i}",), f"{troot}.bn{i + 1}")
     if use_selayer:
         for j, i in enumerate((1, 2, 4, 5, 6)):  # se3 does not exist
-            r.se(f + (f"SELayer_{j}",), f"{t}.se{i}")
-    return r
+            r.se(froot + (f"SELayer_{j}",), f"{troot}.se{i}")
 
 
 # keys legitimately present in a reference state_dict with no flax
 # counterpart (see module docstring)
 _IGNORED = re.compile(
     r"^(conv1\.(weight|bias)"
-    r"|refine\.residual\.bn7\..*"
+    r"|(refine\.residual|res)\.bn7\..*"
     r"|.*\.adain[0-9]\.(running_mean|running_var)"
     r"|.*\.num_batches_tracked)$"
 )
@@ -212,23 +263,17 @@ def _get(tree: dict, path: tuple):
     return tree
 
 
-def convert_netG_state_dict(state_dict: dict, *, use_adain: str = "share",
-                            encode: str = "Residualnet",
-                            use_selayer: bool = True,
-                            n_primitives: int = 32,
-                            strict: bool = True) -> dict[str, Any]:
-    """torch ``net_G`` state_dict -> flax variables for
-    ``SpareNetGenerator`` (same config flags as the model).
+def _convert(state_dict: dict, rules: _Rules, n_primitives: int,
+             strict: bool) -> dict[str, Any]:
+    """torch state_dict -> flax variables, per a mapping table.
 
     Accepts torch tensors or numpy arrays; strips DataParallel's
-    ``module.`` prefix. With ``strict`` (default) raises on any key
-    that is neither mapped nor known-ignorable.
-    """
+    ``module.`` prefix. With ``strict`` raises on any key that is
+    neither mapped nor known-ignorable."""
     sd = {re.sub(r"^module\.", "", k): _np(v) for k, v in state_dict.items()}
     out: dict[str, dict] = {"params": {}, "batch_stats": {}}
     consumed = set()
-    for col, fpath, tkey, kind, stacked in netG_rules(
-            use_adain, encode, use_selayer).entries:
+    for col, fpath, tkey, kind, stacked in rules.entries:
         if stacked:
             keys = [tkey.format(p=p) for p in range(n_primitives)]
             v = np.stack([_to_flax(kind, sd[k]) for k in keys])
@@ -247,6 +292,51 @@ def convert_netG_state_dict(state_dict: dict, *, use_adain: str = "share",
     return out
 
 
+class _Export:
+    """flax variables -> torch state_dict, per a mapping table; model
+    wrappers add the reference's registered-but-unused tensors."""
+
+    def __init__(self, variables: dict, rules: _Rules, n_primitives: int):
+        self.sd: dict[str, np.ndarray] = {}
+        self.bn_prefixes: set[str] = set()
+        for col, fpath, tkey, kind, stacked in rules.entries:
+            v = np.asarray(_get(variables[col], fpath), np.float32)
+            if stacked:
+                for p in range(n_primitives):
+                    self.sd[tkey.format(p=p)] = _to_torch(kind, v[p])
+            else:
+                self.sd[tkey] = _to_torch(kind, v)
+            if tkey.endswith(".running_var"):
+                self.bn_prefixes.add(tkey[: -len(".running_var")])
+
+    def dummy_bn(self, prefix: str, nf: int, affine: bool = True):
+        if affine:
+            self.sd[f"{prefix}.weight"] = np.ones(nf, np.float32)
+            self.sd[f"{prefix}.bias"] = np.zeros(nf, np.float32)
+        self.sd[f"{prefix}.running_mean"] = np.zeros(nf, np.float32)
+        self.sd[f"{prefix}.running_var"] = np.ones(nf, np.float32)
+        self.bn_prefixes.add(prefix)
+
+    def finish(self) -> dict[str, np.ndarray]:
+        for prefix in self.bn_prefixes:
+            if not prefix.endswith(tuple(f"adain{i}" for i in (1, 2, 3))):
+                self.sd[f"{prefix}.num_batches_tracked"] = \
+                    np.zeros((), np.int64)
+        return self.sd
+
+
+def convert_netG_state_dict(state_dict: dict, *, use_adain: str = "share",
+                            encode: str = "Residualnet",
+                            use_selayer: bool = True,
+                            n_primitives: int = 32,
+                            strict: bool = True) -> dict[str, Any]:
+    """torch ``net_G`` state_dict -> flax variables for
+    ``SpareNetGenerator`` (same config flags as the model)."""
+    return _convert(state_dict,
+                    netG_rules(use_adain, encode, use_selayer),
+                    n_primitives, strict)
+
+
 def export_netG_state_dict(variables: dict, *, use_adain: str = "share",
                            encode: str = "Residualnet",
                            use_selayer: bool = True,
@@ -254,44 +344,56 @@ def export_netG_state_dict(variables: dict, *, use_adain: str = "share",
     """flax ``SpareNetGenerator`` variables -> a state_dict the
     reference's ``net_G.load_state_dict`` accepts (strict=True),
     including its registered-but-unused tensors at their defaults."""
-    sd: dict[str, np.ndarray] = {}
-    bn_prefixes = set()
-    for col, fpath, tkey, kind, stacked in netG_rules(
-            use_adain, encode, use_selayer).entries:
-        v = np.asarray(_get(variables[col], fpath), np.float32)
-        if stacked:
-            for p in range(n_primitives):
-                sd[tkey.format(p=p)] = _to_torch(kind, v[p])
-        else:
-            sd[tkey] = _to_torch(kind, v)
-        if tkey.endswith(".running_var"):
-            bn_prefixes.add(tkey[: -len(".running_var")])
-
-    def _dummy_bn(prefix: str, nf: int, affine: bool = True):
-        if affine:
-            sd[f"{prefix}.weight"] = np.ones(nf, np.float32)
-            sd[f"{prefix}.bias"] = np.zeros(nf, np.float32)
-        sd[f"{prefix}.running_mean"] = np.zeros(nf, np.float32)
-        sd[f"{prefix}.running_var"] = np.ones(nf, np.float32)
-        bn_prefixes.add(prefix)
-
-    # unused-but-registered reference tensors
-    sd["conv1.weight"] = np.zeros((64, 3, 1), np.float32)
-    sd["conv1.bias"] = np.zeros(64, np.float32)
-    _dummy_bn("refine.residual.bn7", 3)
+    ex = _Export(variables, netG_rules(use_adain, encode, use_selayer),
+                 n_primitives)
+    ex.sd["conv1.weight"] = np.zeros((64, 3, 1), np.float32)
+    ex.sd["conv1.bias"] = np.zeros(64, np.float32)
+    ex.dummy_bn("refine.residual.bn7", 3)
     if use_adain in ("share", "no_share"):
         b = _DEC_BOTTLENECK
         for p in range(n_primitives):
             for i, nf in enumerate((b, b // 2, b // 4)):
-                _dummy_bn(f"decoder.decoder.{p}.dec.adain{i + 1}", nf,
-                          affine=False)
-    for prefix in bn_prefixes:
-        if not prefix.endswith(tuple(f"adain{i}" for i in (1, 2, 3))):
-            sd[f"{prefix}.num_batches_tracked"] = np.zeros((), np.int64)
-    return sd
+                ex.dummy_bn(f"decoder.decoder.{p}.dec.adain{i + 1}", nf,
+                            affine=False)
+    return ex.finish()
 
 
-def load_reference_checkpoint(path: str, **convert_kwargs) -> dict[str, Any]:
+def convert_atlasnet_state_dict(state_dict: dict, *,
+                                n_primitives: int = 32,
+                                strict: bool = True) -> dict[str, Any]:
+    """torch ``AtlasNet`` state_dict -> flax variables (note: our
+    AtlasNet samples its random grids via an explicit 'grid' rng, so
+    converted weights plug straight in)."""
+    return _convert(state_dict, atlasnet_rules(), n_primitives, strict)
+
+
+def export_atlasnet_state_dict(variables: dict, *, n_primitives: int = 32
+                               ) -> dict[str, np.ndarray]:
+    return _Export(variables, atlasnet_rules(), n_primitives).finish()
+
+
+def convert_msn_state_dict(state_dict: dict, *, n_primitives: int = 32,
+                           strict: bool = True) -> dict[str, Any]:
+    """torch ``MSN`` state_dict -> flax variables."""
+    return _convert(state_dict, msn_rules(), n_primitives, strict)
+
+
+def export_msn_state_dict(variables: dict, *, n_primitives: int = 32
+                          ) -> dict[str, np.ndarray]:
+    ex = _Export(variables, msn_rules(), n_primitives)
+    ex.dummy_bn("res.bn7", 3)
+    return ex.finish()
+
+
+_CONVERTERS = {
+    "SpareNet": convert_netG_state_dict,
+    "AtlasNet": convert_atlasnet_state_dict,
+    "MSN": convert_msn_state_dict,
+}
+
+
+def load_reference_checkpoint(path: str, model_type: str = "SpareNet",
+                              **convert_kwargs) -> dict[str, Any]:
     """Load a reference ``ckpt-*.pth`` (utils/misc.py:96-104 layout:
     {epoch_index, best_metrics, net_G}) or a bare state_dict, and
     convert the generator weights to flax variables."""
@@ -299,4 +401,4 @@ def load_reference_checkpoint(path: str, **convert_kwargs) -> dict[str, Any]:
 
     payload = torch.load(path, map_location="cpu", weights_only=True)
     sd = payload.get("net_G", payload) if isinstance(payload, dict) else payload
-    return convert_netG_state_dict(sd, **convert_kwargs)
+    return _CONVERTERS[model_type](sd, **convert_kwargs)

@@ -62,6 +62,41 @@ def test_export_convert_roundtrip(rng, use_adain, encode, use_selayer):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("family", ["atlasnet", "msn"])
+def test_atlasnet_msn_roundtrip(rng, family):
+    from sparenet_tpu.models import MSN, AtlasNet
+    from sparenet_tpu.utils.torch_import import (
+        convert_atlasnet_state_dict, convert_msn_state_dict,
+        export_atlasnet_state_dict, export_msn_state_dict,
+    )
+
+    if family == "atlasnet":
+        model = AtlasNet(num_points=256, bottleneck_size=64,
+                         n_primitives=PRIMS)
+        exp, conv = export_atlasnet_state_dict, convert_atlasnet_state_dict
+    else:
+        model = MSN(num_points=256, bottleneck_size=64, n_primitives=PRIMS)
+        exp, conv = export_msn_state_dict, convert_msn_state_dict
+
+    x = jnp.asarray(rng.rand(1, 64, 3), jnp.float32)
+    keys = {"params": jax.random.PRNGKey(0), "grid": jax.random.PRNGKey(1)}
+    variables = model.init(keys, x)
+    ref = {"params": variables["params"],
+           "batch_stats": variables["batch_stats"]}
+
+    sd = exp(ref, n_primitives=PRIMS)
+    assert "encoder.feat_extractor.conv1.weight" in sd
+    assert "decoder.0.conv1.weight" in sd
+    if family == "msn":
+        assert "res.bn7.running_var" in sd  # registered-but-unused dummy
+    back = conv(sd, n_primitives=PRIMS)
+    assert (jax.tree_util.tree_structure(back) ==
+            jax.tree_util.tree_structure(ref))
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_convert_accepts_module_prefix_and_rejects_unknown(rng):
     model = _model("share", "Pointfeat", False)
     x = jnp.asarray(rng.rand(1, 64, 3), jnp.float32)
