@@ -23,10 +23,14 @@ _PREC = {
 # matmuls and bf16 MDS coordinates. Parity mode (default) keeps fp32.
 FAST_MATH = os.environ.get("SPARENET_FAST_MATH", "0") == "1"
 
-# SPARENET_EVAL_FAST=0 disables the eval-mode EdgeConv fast path
+# SPARENET_EVAL_FAST=1 enables the eval-mode EdgeConv fast path
 # (neighborhood-extrema formulation; see models/layers.py). Exact in
-# value up to max-selection ties; on by default.
-EVAL_FAST = os.environ.get("SPARENET_EVAL_FAST", "1") != "0"
+# value up to max-selection ties, but measured SLOWER on TPU v5e than
+# the dense [B,N,k,C] chain (encoder 168 ms vs 106 ms @B=32: the
+# concat(g, -g) extrema gather doubles the row-rate-bound gather
+# traffic, which outweighs the skipped dense elementwise chain) — so it
+# is OFF by default; kept as a tested alternative formulation.
+EVAL_FAST = os.environ.get("SPARENET_EVAL_FAST", "0") == "1"
 
 DISTANCE_PRECISION = _PREC[
     os.environ.get("SPARENET_DISTANCE_PRECISION",
