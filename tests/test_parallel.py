@@ -85,3 +85,99 @@ def test_sharded_step_matches_single_device(tmp_path):
     sharded = float(f(pv["params"], pv["batch_stats"],
                       batch["p"], batch["g"]))
     np.testing.assert_allclose(sharded, base, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# point-axis (ring) sharding — parallel/pointwise.py
+
+
+def _clouds(rng, b=4, n=64, m=96):
+    import jax.numpy as jnp
+    x1 = jnp.asarray(rng.rand(b, n, 3), jnp.float32)
+    x2 = jnp.asarray(rng.rand(b, m, 3), jnp.float32)
+    return x1, x2
+
+
+def test_ring_chamfer_matches_dense(rng):
+    """sharded_chamfer over a ("batch","point") 2x4 mesh == chamfer_raw:
+    indices exactly, distances to fusion-level ulps."""
+    import jax.numpy as jnp
+    from sparenet_tpu.parallel import get_mesh2d, sharded_chamfer
+    from sparenet_tpu.ops.chamfer import chamfer_raw
+
+    mesh = get_mesh2d(2, 4)
+    x1, x2 = _clouds(rng)
+    d1, d2, i1, i2 = jax.jit(lambda a, b: sharded_chamfer(mesh, a, b))(x1, x2)
+    r1, r2, j1, j2 = chamfer_raw(x1, x2)
+    assert bool(jnp.all(i1 == j1)) and bool(jnp.all(i2 == j2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(r1), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(r2), atol=1e-7)
+
+
+def test_ring_chamfer_point_only_mesh(rng):
+    """1x8 mesh (pure point parallelism) also matches."""
+    import jax.numpy as jnp
+    from sparenet_tpu.parallel import get_mesh2d, sharded_chamfer
+    from sparenet_tpu.ops.chamfer import chamfer_raw
+
+    mesh = get_mesh2d(1, 8)
+    x1, x2 = _clouds(rng, b=2, n=128, m=128)
+    d1, d2, i1, i2 = jax.jit(lambda a, b: sharded_chamfer(mesh, a, b))(x1, x2)
+    r1, r2, j1, j2 = chamfer_raw(x1, x2)
+    assert bool(jnp.all(i1 == j1)) and bool(jnp.all(i2 == j2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(r1), atol=1e-7)
+
+
+def test_ring_chamfer_grads_match_dense(rng):
+    """The ring VJP (local grads + psum_scatter of the matched-point
+    scatter) reproduces the dense chamfer VJP."""
+    import jax.numpy as jnp
+    from sparenet_tpu.parallel import get_mesh2d, sharded_chamfer
+    from sparenet_tpu.ops.chamfer import chamfer_raw
+
+    mesh = get_mesh2d(2, 4)
+    x1, x2 = _clouds(rng)
+
+    def loss_s(a, b):
+        d1, d2, _, _ = sharded_chamfer(mesh, a, b)
+        return jnp.mean(d1) + 0.5 * jnp.mean(d2)
+
+    def loss_d(a, b):
+        d1, d2, _, _ = chamfer_raw(a, b)
+        return jnp.mean(d1) + 0.5 * jnp.mean(d2)
+
+    gs = jax.jit(jax.grad(loss_s, argnums=(0, 1)))(x1, x2)
+    gd = jax.grad(loss_d, argnums=(0, 1))(x1, x2)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gd[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gd[1]), atol=1e-6)
+
+
+def test_ring_nn_search_matches_dense(rng):
+    import jax.numpy as jnp
+    from sparenet_tpu.parallel import get_mesh2d, sharded_nn_search
+    from sparenet_tpu.ops.chamfer import nn_search
+
+    mesh = get_mesh2d(2, 4)
+    x1, x2 = _clouds(rng)
+    sd, si = jax.jit(lambda a, b: sharded_nn_search(mesh, a, b))(x1, x2)
+    rd, ri = nn_search(x1, x2)
+    assert bool(jnp.all(si == ri))
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(rd), atol=1e-7)
+
+
+def test_ring_chamfer_tie_break_lowest_global_index():
+    """Duplicate target points land in different point shards; the winner
+    must be the LOWEST global index (dense argmin semantics)."""
+    import jax.numpy as jnp
+    from sparenet_tpu.parallel import get_mesh2d, sharded_chamfer
+    from sparenet_tpu.ops.chamfer import chamfer_raw
+
+    mesh = get_mesh2d(1, 8)
+    b, n, m = 1, 8, 32
+    x1 = jnp.zeros((b, n, 3), jnp.float32) + 0.25
+    # every target point identical -> every query ties across all shards
+    x2 = jnp.full((b, m, 3), 0.75, jnp.float32)
+    _, _, i1, i2 = jax.jit(lambda a, c: sharded_chamfer(mesh, a, c))(x1, x2)
+    r = chamfer_raw(x1, x2)
+    assert bool(jnp.all(i1 == 0)) and bool(jnp.all(i1 == r[2]))
+    assert bool(jnp.all(i2 == r[3]))
