@@ -42,6 +42,8 @@ __all__ = [
     "export_atlasnet_state_dict",
     "convert_msn_state_dict",
     "export_msn_state_dict",
+    "convert_grnet_state_dict",
+    "export_grnet_state_dict",
     "load_reference_checkpoint",
 ]
 
@@ -58,11 +60,46 @@ def _np(v) -> np.ndarray:
     return np.asarray(v)
 
 
+_GRNET_BOTTLENECK_CH = 256  # conv4 output channels (grnet_generator.py:31)
+
+
+def _flat_perm(n: int) -> np.ndarray:
+    """Flatten-order permutation for GRNet's fc bottleneck: maps the
+    flax channel-last flat index (x, y, z, c) to the torch channel-first
+    flat index (c, x, y, z) of the same [C, s, s, s] volume
+    (grnet_generator.py:84-87 ``view(-1, 16384)``)."""
+    c = _GRNET_BOTTLENECK_CH
+    s = round((n // c) ** (1.0 / 3.0))
+    assert c * s ** 3 == n, f"bottleneck size {n} is not 256*s^3"
+    i = np.arange(n)
+    x, r = divmod(i, s * s * c)
+    y, r = divmod(r, s * c)
+    z, cc = divmod(r, c)
+    return ((cc * s + x) * s + y) * s + z
+
+
 def _to_flax(kind: str, v: np.ndarray) -> np.ndarray:
     if kind == "lin_w":
         return v.T
     if kind in ("conv1d_w", "conv2d_w"):
         return v.reshape(v.shape[0], v.shape[1]).T
+    if kind == "conv3d_w":
+        # torch [out, in, kx, ky, kz] -> flax [kx, ky, kz, in, out]
+        return v.transpose(2, 3, 4, 1, 0)
+    if kind == "deconv3d_w":
+        # torch ConvTranspose3d [in, out, kx, ky, kz] -> flax
+        # ConvTranspose (transpose_kernel=False, padding="SAME")
+        # [kx, ky, kz, in, out] with SPATIALLY FLIPPED taps (verified
+        # numerically against torch: tests/test_torch_interop.py)
+        return v[:, :, ::-1, ::-1, ::-1].transpose(2, 3, 4, 0, 1).copy()
+    if kind == "fc_in_w":
+        # fc5: torch rows index the channel-first flatten; flax kernel
+        # rows index the channel-last flatten
+        return v.T[_flat_perm(v.shape[1])]
+    if kind == "fc_out_w":
+        return v[_flat_perm(v.shape[0])].T
+    if kind == "fc_out_b":
+        return v[_flat_perm(v.shape[0])]
     return v  # "id"
 
 
@@ -73,6 +110,16 @@ def _to_torch(kind: str, v: np.ndarray) -> np.ndarray:
         return v.T[:, :, None]
     if kind == "conv2d_w":
         return v.T[:, :, None, None]
+    if kind == "conv3d_w":
+        return v.transpose(4, 3, 0, 1, 2)
+    if kind == "deconv3d_w":
+        return v.transpose(3, 4, 0, 1, 2)[:, :, ::-1, ::-1, ::-1].copy()
+    if kind == "fc_in_w":
+        return v[np.argsort(_flat_perm(v.shape[0]))].T
+    if kind == "fc_out_w":
+        return v.T[np.argsort(_flat_perm(v.shape[1]))]
+    if kind == "fc_out_b":
+        return v[np.argsort(_flat_perm(v.shape[0]))]
     return v
 
 
@@ -203,6 +250,31 @@ def msn_rules() -> _Rules:
     residual refiner (``res``, no SE)."""
     r = atlasnet_rules()
     _pointnet_res_rules(r, ("PointNetRes_0",), "res", use_selayer=False)
+    return r
+
+
+def grnet_rules() -> _Rules:
+    """GRNet (models/grnet_generator.py:8-114): 4 Conv3d blocks, fc
+    bottleneck, 4 ConvTranspose3d blocks, 4 point-feature MLP layers.
+    Voxel layouts agree (gridding flattens x-major on both sides,
+    gridding.cu:22-25), so conv kernels map by transpose alone; the fc
+    bottleneck weights additionally absorb the channel-first vs
+    channel-last flatten permutation (kinds ``fc_in_w``/``fc_out_w``)."""
+    r = _Rules()
+    for i in range(4):
+        r.dense((f"_ConvBlock_{i}", "Conv_0"), f"conv{i + 1}.0",
+                kind="conv3d_w")
+        r.bn((f"_ConvBlock_{i}", "BatchNorm_0"), f"conv{i + 1}.1")
+    r.add("params", ("Linear_0", "kernel"), "fc5.0.weight", "fc_in_w")
+    r.add("params", ("Linear_0", "bias"), "fc5.0.bias", "id")
+    r.add("params", ("Linear_1", "kernel"), "fc6.0.weight", "fc_out_w")
+    r.add("params", ("Linear_1", "bias"), "fc6.0.bias", "fc_out_b")
+    for i in range(4):
+        r.dense((f"_DeconvBlock_{i}", "ConvTranspose_0"), f"dconv{i + 7}.0",
+                bias=False, kind="deconv3d_w")
+        r.bn((f"_DeconvBlock_{i}", "BatchNorm_0"), f"dconv{i + 7}.1")
+    for j, t in enumerate(("fc11.0", "fc12.0", "fc13.0", "fc14")):
+        r.dense((f"Linear_{j + 2}",), t)
     return r
 
 
@@ -385,10 +457,24 @@ def export_msn_state_dict(variables: dict, *, n_primitives: int = 32
     return ex.finish()
 
 
+def convert_grnet_state_dict(state_dict: dict, *, strict: bool = True,
+                             **_ignored) -> dict[str, Any]:
+    """torch ``GRNet`` state_dict -> flax variables (the conversion is
+    exact: forward outputs match torch to float tolerance,
+    tests/test_torch_interop.py)."""
+    return _convert(state_dict, grnet_rules(), 1, strict)
+
+
+def export_grnet_state_dict(variables: dict, **_ignored
+                            ) -> dict[str, np.ndarray]:
+    return _Export(variables, grnet_rules(), 1).finish()
+
+
 _CONVERTERS = {
     "SpareNet": convert_netG_state_dict,
     "AtlasNet": convert_atlasnet_state_dict,
     "MSN": convert_msn_state_dict,
+    "GRNet": convert_grnet_state_dict,
 }
 
 

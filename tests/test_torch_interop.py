@@ -236,3 +236,153 @@ def test_batchnorm_eval_vs_torch(rng):
     got = np.asarray(bn.apply(v, jnp.asarray(x)))
     np.testing.assert_allclose(got.transpose(0, 2, 1), want,
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# GRNet (models/grnet_generator.py:8-114)
+
+
+class _TorchGRNetStack(object):
+    """torch replica of the reference GRNet's parametrized layers
+    (grnet_generator.py:12-67) at a reduced gridding scale, with the
+    reference's attribute names so state_dict keys match."""
+
+    def __new__(cls, scale):
+        import torch.nn as tnn
+
+        flat = 256 * (scale // 16) ** 3
+        m = torch.nn.Module()
+        chans = [(1, 32), (32, 64), (64, 128), (128, 256)]
+        for i, (ci, co) in enumerate(chans):
+            setattr(m, f"conv{i + 1}", tnn.Sequential(
+                tnn.Conv3d(ci, co, kernel_size=4, padding=2),
+                tnn.BatchNorm3d(co), tnn.LeakyReLU(0.2),
+                tnn.MaxPool3d(kernel_size=2)))
+        m.fc5 = tnn.Sequential(tnn.Linear(flat, 2048), tnn.ReLU())
+        m.fc6 = tnn.Sequential(tnn.Linear(2048, flat), tnn.ReLU())
+        dchans = [(256, 128), (128, 64), (64, 32), (32, 1)]
+        for i, (ci, co) in enumerate(dchans):
+            setattr(m, f"dconv{i + 7}", tnn.Sequential(
+                tnn.ConvTranspose3d(ci, co, kernel_size=4, stride=2,
+                                    bias=False, padding=1),
+                tnn.BatchNorm3d(co), tnn.ReLU()))
+        m.fc11 = tnn.Sequential(tnn.Linear(1792, 1792), tnn.ReLU())
+        m.fc12 = tnn.Sequential(tnn.Linear(1792, 448), tnn.ReLU())
+        m.fc13 = tnn.Sequential(tnn.Linear(448, 112), tnn.ReLU())
+        m.fc14 = tnn.Linear(112, 24)
+        # non-trivial BN running stats so eval-mode BN is exercised
+        for mod in m.modules():
+            if isinstance(mod, (tnn.BatchNorm3d,)):
+                with torch.no_grad():
+                    mod.running_mean.uniform_(-0.3, 0.3)
+                    mod.running_var.uniform_(0.5, 1.5)
+        return m.eval()
+
+
+def test_grnet_roundtrip(rng):
+    from sparenet_tpu.models.grnet import GRNet
+    from sparenet_tpu.utils.torch_import import (
+        convert_grnet_state_dict, export_grnet_state_dict)
+
+    model = GRNet(n_sampling_points=16, gridding_scale=32, train=False)
+    x = jnp.asarray(rng.rand(1, 32, 3) - 0.5, jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x)
+    ref = {"params": variables["params"],
+           "batch_stats": variables["batch_stats"]}
+
+    sd = export_grnet_state_dict(ref)
+    assert "conv1.0.weight" in sd and sd["conv1.0.weight"].shape == (32, 1, 4, 4, 4)
+    assert "dconv7.0.weight" in sd and sd["dconv7.0.weight"].shape == (256, 128, 4, 4, 4)
+    assert "fc14.weight" in sd
+
+    back = convert_grnet_state_dict(sd)
+    assert (jax.tree_util.tree_structure(back) ==
+            jax.tree_util.tree_structure(ref))
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_grnet_state_dict_loads_into_model(rng):
+    """A synthesized reference state_dict converts strictly and matches
+    the flax model's variable tree (paths AND shapes)."""
+    from sparenet_tpu.models.grnet import GRNet
+    from sparenet_tpu.utils.torch_import import convert_grnet_state_dict
+
+    scale = 32
+    tm = _TorchGRNetStack(scale)
+    got = convert_grnet_state_dict(tm.state_dict(), strict=True)
+
+    model = GRNet(n_sampling_points=16, gridding_scale=scale, train=False)
+    x = jnp.asarray(rng.rand(1, 32, 3) - 0.5, jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x)
+    ref = {"params": variables["params"],
+           "batch_stats": variables["batch_stats"]}
+    assert (jax.tree_util.tree_structure(got) ==
+            jax.tree_util.tree_structure(ref))
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(ref)):
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+    # and the model runs with the converted weights
+    out_sparse, out_dense = model.apply(
+        got, x, rngs={"sample": jax.random.PRNGKey(2)})
+    assert out_dense.shape == (1, 16 * 8, 3)
+    assert np.all(np.isfinite(np.asarray(out_dense)))
+
+
+def test_grnet_unet_forward_parity_vs_torch(rng):
+    """Full U-Net stack (conv1-4, fc5/6, dconv7-10) forward parity:
+    converted weights reproduce the torch replica's outputs on the same
+    voxel volume, including the fc flatten permutation and the
+    ConvTranspose tap flip."""
+    from sparenet_tpu.models.grnet import _ConvBlock, _DeconvBlock
+    from sparenet_tpu.models.layers import Linear
+    from sparenet_tpu.utils.torch_import import convert_grnet_state_dict
+
+    scale = 32
+    tm = _TorchGRNetStack(scale)
+    v = convert_grnet_state_dict(tm.state_dict(), strict=True)
+
+    vol = rng.rand(1, 1, scale, scale, scale).astype(np.float32)
+
+    with torch.no_grad():
+        t64 = torch.from_numpy(vol)
+        t32 = tm.conv1(t64)
+        t16 = tm.conv2(t32)
+        t8 = tm.conv3(t16)
+        t4 = tm.conv4(t8)
+        feat = tm.fc5(t4.reshape(1, -1))
+        t4r = tm.fc6(feat).reshape(t4.shape) + t4
+        t8r = tm.dconv7(t4r) + t8
+        t16r = tm.dconv8(t8r) + t16
+        t32r = tm.dconv9(t16r) + t32
+        t64r = tm.dconv10(t32r) + t64
+
+    def sub(name):
+        return {"params": v["params"][name],
+                "batch_stats": v["batch_stats"][name]}
+
+    jvol = jnp.asarray(vol.transpose(0, 2, 3, 4, 1))     # NDHWC
+    f32 = _ConvBlock(32, train=False).apply(sub("_ConvBlock_0"), jvol)
+    f16 = _ConvBlock(64, train=False).apply(sub("_ConvBlock_1"), f32)
+    f8 = _ConvBlock(128, train=False).apply(sub("_ConvBlock_2"), f16)
+    f4 = _ConvBlock(256, train=False).apply(sub("_ConvBlock_3"), f8)
+    lin0 = {"params": v["params"]["Linear_0"]}
+    lin1 = {"params": v["params"]["Linear_1"]}
+    jfeat = jax.nn.relu(Linear(2048).apply(lin0, f4.reshape(1, -1)))
+    f4r = jax.nn.relu(
+        Linear(f4.size).apply(lin1, jfeat)).reshape(f4.shape) + f4
+    f8r = _DeconvBlock(128, train=False).apply(sub("_DeconvBlock_0"), f4r) + f8
+    f16r = _DeconvBlock(64, train=False).apply(sub("_DeconvBlock_1"), f8r) + f16
+    f32r = _DeconvBlock(32, train=False).apply(sub("_DeconvBlock_2"), f16r) + f32
+    f64r = _DeconvBlock(1, train=False).apply(sub("_DeconvBlock_3"), f32r) + jvol
+
+    pairs = [(t32, f32), (t4, f4), (t4r, f4r), (t16r, f16r), (t64r, f64r)]
+    for t, f in pairs:
+        tn = t.numpy().transpose(0, 2, 3, 4, 1)          # -> NDHWC
+        np.testing.assert_allclose(np.asarray(f), tn, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jfeat), feat.numpy(),
+                               atol=2e-4, rtol=1e-4)
