@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Throughput across all four model families on one TPU chip.
+
+Companion to the driver-facing bench.py (which benches the flagship
+SpareNet only): builds each generator at its production config (the
+per-model yaml in sparenet_tpu/configs), times an on-device lax.scan
+over distinct inputs (one dispatch for the whole run, like bench.py),
+and prints one JSON line per family.
+
+Usage: python scripts/bench_models.py [--models sparenet,atlasnet,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def bench_one(model_name: str, batch: int, iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import sparenet_tpu.configs as configs
+    from sparenet_tpu.configs import cfg_from_file
+    from sparenet_tpu.models import define_G
+
+    yaml_path = os.path.join(os.path.dirname(configs.__file__),
+                             f"{model_name}.yaml")
+    cfg = cfg_from_file(yaml_path)
+    model = define_G(cfg, train=False)
+    n_in = cfg.CONST.n_input_points
+    rs = np.random.RandomState(0)
+    partials = jnp.asarray(rs.rand(iters, batch, n_in, 3) - 0.5, jnp.float32)
+
+    rngs = {"params": jax.random.PRNGKey(0)}
+    apply_rngs = {}
+    if model_name == "atlasnet" or model_name == "msn":
+        rngs["grid"] = jax.random.PRNGKey(1)
+        apply_rngs["grid"] = jax.random.PRNGKey(2)
+    if model_name == "grnet":
+        rngs["sample"] = jax.random.PRNGKey(1)
+        apply_rngs["sample"] = jax.random.PRNGKey(2)
+    variables = model.init(rngs, partials[0])
+
+    @jax.jit
+    def forward_many(variables, partials):
+        def step(acc, partial):
+            out = model.apply(variables, partial, rngs=apply_rngs)
+            cloud = out[-2] if isinstance(out, tuple) and len(out) > 2 else (
+                out[-1] if isinstance(out, tuple) else out)
+            return acc + jnp.sum(cloud), None
+        acc, _ = jax.lax.scan(step, jnp.float32(0), partials)
+        return acc
+
+    float(forward_many(variables, partials))  # compile + warm
+    t0 = time.perf_counter()
+    s = float(forward_many(variables, partials))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(s)
+    return {
+        "metric": f"{model_name}_inference",
+        "value": round(batch * iters / dt, 2),
+        "unit": "clouds/sec/chip",
+        "batch": batch,
+        "n_in": n_in,
+        "n_out": cfg.DATASET.n_outpoints,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="atlasnet,msn,grnet,sparenet")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_default_matmul_precision", "bfloat16")
+    for m in args.models.split(","):
+        print(json.dumps(bench_one(m.strip(), args.batch, args.iters)),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
