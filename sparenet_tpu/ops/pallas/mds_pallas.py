@@ -113,16 +113,18 @@ def _stage_kernel(lo: int, hi: int,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
 
-    # Coordinates of the selected point are extracted with full-row
-    # one-hot reductions. (A 128-lane dynamic-slice variant was ablated
-    # and is ~36% SLOWER on v5e — per-row dynamic addressing serializes;
-    # scripts/profile_mds.py v2 dyncoord=True vs False.)
+    def coords_at(nxt):
+        """Coordinates of per-row point nxt[r] via one-hot row
+        reductions. (A 128-lane dynamic-slice variant was ablated and is
+        ~36% SLOWER on v5e — per-row dynamic addressing serializes;
+        scripts/profile_mds.py v2 dyncoord=True vs False.)"""
+        sel = (lane == nxt[:, None]).astype(jnp.float32)
+        return (jnp.sum(x * sel, axis=1, keepdims=True),
+                jnp.sum(y * sel, axis=1, keepdims=True),
+                jnp.sum(z * sel, axis=1, keepdims=True))
 
     def body(j, carry):
-        # prev_sel [R, N] bool: one-hot mask of the step-(j-1) selection
-        # — carried instead of the index so the pin write reuses the
-        # comparison that coords extraction already paid last step
-        prev_sel, sx, sy, sz = carry
+        prev_idx, sx, sy, sz = carry                   # [R], [R,1]x3
         ax = sx * (2.0 * kde)
         ay = sy * (2.0 * kde)
         az = sz * (2.0 * kde)
@@ -132,32 +134,29 @@ def _stage_kernel(lo: int, hi: int,
         # no pinned/padding guard: adds (<= 2) round away exactly
         # against the 2^40-based pin values (see encoding note above)
         add = jnp.exp2(arg)
-        # the carried mask was selected at step j-1; pin it now
+        # the carried index was selected at step j-1; pin it now
         temp = jnp.where(
-            prev_sel,
+            lane == prev_idx[:, None],
             jnp.float32(_BIGBASE) +
             (j - 1).astype(jnp.float32) * jnp.float32(_STEP_SCALE),
             told + add)
         tin_ref[:] = temp
         nxt = argmin_lanes(temp).astype(jnp.int32)           # [R]
-        sel = lane == nxt[:, None]
-        self_f = sel.astype(jnp.float32)
-        nx = jnp.sum(x * self_f, axis=1, keepdims=True)
-        ny = jnp.sum(y * self_f, axis=1, keepdims=True)
-        nz = jnp.sum(z * self_f, axis=1, keepdims=True)
-        return sel, nx, ny, nz
+        nx, ny, nz = coords_at(nxt)
+        return nxt, nx, ny, nz
 
     # selection lo-1 is already pinned (previous stage exit / init):
-    # start from an all-false mask so the first iteration pins nothing
-    init = (jnp.zeros((r, n), jnp.bool_),
+    # start from the -1 sentinel so the first iteration pins nothing
+    init = (jnp.full((r,), -1, jnp.int32),
             prev_ref[:, 0:1].astype(jnp.float32),
             prev_ref[:, 1:2].astype(jnp.float32),
             prev_ref[:, 2:3].astype(jnp.float32))
-    sel, lx, ly, lz = jax.lax.fori_loop(lo, hi, body, init)
+    nxt, lx, ly, lz = jax.lax.fori_loop(lo, hi, body, init)
 
     # pin the final selection (step hi-1) and emit its coords
     tout_ref[:] = jnp.where(
-        sel, jnp.float32(_BIGBASE + (hi - 1) * _STEP_SCALE), tin_ref[:])
+        lane == nxt[:, None],
+        jnp.float32(_BIGBASE + (hi - 1) * _STEP_SCALE), tin_ref[:])
     last_ref[:] = jnp.concatenate(
         [lx, ly, lz, jnp.zeros((r, 1), jnp.float32)], axis=1)
 
