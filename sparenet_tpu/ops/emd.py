@@ -242,9 +242,22 @@ def _emd_batched(xyz1, xyz2, eps, iters):
         jnp.zeros((b, n), xyz1.dtype),
     )
     if iters > 1:
-        state, _ = jax.lax.scan(
-            lambda s, _: round_fn(s, False), state, None, length=iters - 1
-        )
+        # early exit, provably identical to running all iters rounds: a
+        # round with zero unassigned bidders is a no-op (every bid is
+        # masked out of GetMax/Assign), so stopping once assignment is
+        # complete changes nothing — and makes the published final-test
+        # protocol (iters=10000, utils/misc.py:209) feasible: the loop
+        # runs only until convergence.
+        def _cond(carry):
+            i, (assignment, _, _) = carry
+            return jnp.logical_and(i < iters - 1, jnp.any(assignment < 0))
+
+        def _body(carry):
+            i, s = carry
+            s, _ = round_fn(s, False)
+            return i + 1, s
+
+        _, state = jax.lax.while_loop(_cond, _body, (jnp.int32(0), state))
     state, _ = round_fn(state, True)
     assignment = state[0]
     matched = jnp.take_along_axis(xyz2, jnp.maximum(assignment, 0)[..., None], 1)

@@ -87,4 +87,6 @@ class atlasnetRunner(sparenetRunner):
             self.state, batch["partial_cloud"], batch["gtcloud"], rng)
         self.test_losses.update([float(r_l) * 1000])
         self.ptcloud = refine
-        return compute_all(refine, batch["gtcloud"])
+        return compute_all(refine, batch["gtcloud"],
+                           eps=float(self.config.TEST.emd_eps),
+                           iters=int(self.config.TEST.emd_iters))

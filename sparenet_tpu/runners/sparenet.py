@@ -172,4 +172,6 @@ class sparenetRunner(BaseRunner):
             self.state, batch["partial_cloud"], batch["gtcloud"], rng)
         self.test_losses.update([float(c_l) * 1000, float(r_l) * 1000])
         self.ptcloud = refine
-        return compute_all(refine, batch["gtcloud"])
+        return compute_all(refine, batch["gtcloud"],
+                           eps=float(self.config.TEST.emd_eps),
+                           iters=int(self.config.TEST.emd_iters))

@@ -37,6 +37,7 @@ from flax import struct
 
 from ..models import define_D
 from ..renderer import ComputeDepthMaps
+from ..utils import checkpoint as ckpt
 from .base import TrainState, apply_updates, make_optimizer
 from .misc import AverageMeter
 from ..utils.metrics import Metrics
@@ -103,6 +104,33 @@ class sparenetGANRunner(sparenetRunner):
                 functools.partial(self._gan_impl, float(radius)),
                 donate_argnums=(0, 1),
             )
+
+    # ------------------------------------------------------------------
+    # checkpointing: the WHOLE GAN (generator + discriminator + both
+    # optimizers) round-trips, so resume reproduces the adversarial
+    # balance exactly. The reference saves net_G only
+    # (utils/misc.py:80-109) — a deliberate upgrade, matching this
+    # repo's full-state standard (utils/checkpoint.py:3-7).
+    # ------------------------------------------------------------------
+
+    def models_load(self):
+        cfg = self.config
+        if cfg.CONST.weights and str(cfg.CONST.weights).endswith(".pth"):
+            # reference .pth checkpoints carry net_G only; D starts fresh
+            super().models_load()
+            return
+        template = {"gen": self.state, "disc": self.disc_state}
+        self.init_epoch, self.best_metrics, restored = ckpt.checkpoint_load(
+            cfg, template, self.logger)
+        self.state = restored["gen"]
+        self.disc_state = restored["disc"]
+
+    def models_save(self):
+        payload = {"gen": jax.device_get(self.state),
+                   "disc": jax.device_get(self.disc_state)}
+        self.best_metrics = ckpt.checkpoint_save(
+            self.config, self.epoch_idx, self.metrics, self.best_metrics,
+            payload, self.logger)
 
     # ------------------------------------------------------------------
 
