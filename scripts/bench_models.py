@@ -48,12 +48,20 @@ def bench_one(model_name: str, batch: int, iters: int) -> dict:
         apply_rngs["sample"] = jax.random.PRNGKey(2)
     variables = model.init(rngs, partials[0])
 
+    # explicit per-family index of the final output cloud in the model's
+    # return tuple — fails loudly (KeyError) if a family's arity changes:
+    #   sparenet (coarse, middle, refine, loss_mst) -> refine
+    #   msn      (coarse, refine, loss_mst)         -> refine
+    #   grnet    (sparse, dense)                    -> dense
+    #   atlasnet single cloud                       -> itself
+    out_index = {"sparenet": 2, "msn": 1, "grnet": 1, "atlasnet": None}[
+        model_name]
+
     @jax.jit
     def forward_many(variables, partials):
         def step(acc, partial):
             out = model.apply(variables, partial, rngs=apply_rngs)
-            cloud = out[-2] if isinstance(out, tuple) and len(out) > 2 else (
-                out[-1] if isinstance(out, tuple) else out)
+            cloud = out if out_index is None else out[out_index]
             return acc + jnp.sum(cloud), None
         acc, _ = jax.lax.scan(step, jnp.float32(0), partials)
         return acc

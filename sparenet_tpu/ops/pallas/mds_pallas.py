@@ -69,7 +69,12 @@ _PADBASE = float(2 ** 45)   # padding lanes: always above any pinned value
 # Results are bit-identical at any stage length (the sort is
 # order-stable).
 import os as _os
-_STAGE_LEN = int(_os.environ.get("MDS_STAGE_LEN", "4096"))
+_STAGE_LEN = int(_os.environ.get(
+    "SPARENET_MDS_STAGE_LEN", _os.environ.get("MDS_STAGE_LEN", "4096")))
+if _STAGE_LEN < 128:
+    raise ValueError(
+        f"SPARENET_MDS_STAGE_LEN={_STAGE_LEN} is too small; use >= 128 "
+        "(greedy steps per compaction stage)")
 
 
 def _stage_kernel(lo: int, hi: int,

@@ -15,10 +15,14 @@ one psum_scatter per direction backward (the scatter-add of the chamfer
 VJP, cuda/chamfer_distance/chamfer_distance.cu:159-204, becomes a
 reduce-scatter over the point axis).
 
-Parity: bit-exact with the dense path (ops/chamfer.py) — the same
-pairwise_sqdist formula per tile (elementwise identical), and winner
-updates tie-break on the lowest GLOBAL index, matching dense argmin
-semantics. Verified exactly in tests/test_parallel.py.
+Parity: bit-exact with the dense path (ops/chamfer.py) under
+fp32/HIGHEST parity settings — the same pairwise_sqdist formula per
+tile (elementwise identical), and winner updates tie-break on the
+lowest GLOBAL index, matching dense argmin semantics. Verified exactly
+on CPU meshes and the multichip dryrun (tests/test_parallel.py). On TPU
+at N>=512 the dense op dispatches to the Pallas NN kernel instead, where
+non-HIGHEST distance precision can flip near-tie argmins — index parity
+at production scale is contractual only in parity mode.
 
 Use `get_mesh2d(n_batch, n_point)` for a ("batch", "point") mesh and
 `sharded_chamfer(mesh, xyz1, xyz2)` / `sharded_nn_search` /
@@ -53,6 +57,10 @@ def get_mesh2d(n_batch: int, n_point: int, devices=None) -> Mesh:
     """("batch", "point") mesh: data parallel x point parallel."""
     if devices is None:
         devices = jax.devices()
+    if len(devices) < n_batch * n_point:
+        raise ValueError(
+            f"get_mesh2d({n_batch}, {n_point}) needs {n_batch * n_point} "
+            f"devices, only {len(devices)} available")
     devices = np.asarray(devices[: n_batch * n_point])
     return Mesh(devices.reshape(n_batch, n_point), (BATCH_AXIS, POINT_AXIS))
 

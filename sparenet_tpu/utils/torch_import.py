@@ -63,14 +63,17 @@ def _np(v) -> np.ndarray:
 _GRNET_BOTTLENECK_CH = 256  # conv4 output channels (grnet_generator.py:31)
 
 
-def _flat_perm(n: int) -> np.ndarray:
+def _flat_perm(n: int, c: int = _GRNET_BOTTLENECK_CH) -> np.ndarray:
     """Flatten-order permutation for GRNet's fc bottleneck: maps the
     flax channel-last flat index (x, y, z, c) to the torch channel-first
     flat index (c, x, y, z) of the same [C, s, s, s] volume
-    (grnet_generator.py:84-87 ``view(-1, 16384)``)."""
-    c = _GRNET_BOTTLENECK_CH
+    (grnet_generator.py:84-87 ``view(-1, 16384)``). ``c`` defaults to the
+    reference conv4 width; pass the variant's width to convert a variant
+    checkpoint."""
     s = round((n // c) ** (1.0 / 3.0))
-    assert c * s ** 3 == n, f"bottleneck size {n} is not 256*s^3"
+    assert c * s ** 3 == n, (
+        f"bottleneck size {n} is not {c}*s^3; for GRNet variants with a "
+        f"different conv4 width pass c explicitly to _flat_perm")
     i = np.arange(n)
     x, r = divmod(i, s * s * c)
     y, r = divmod(r, s * c)
