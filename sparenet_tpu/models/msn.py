@@ -25,14 +25,16 @@ class MSN(nn.Module):
     train: bool = True
 
     @nn.compact
-    def __call__(self, partial):
+    def __call__(self, partial, grids=None):
+        """``grids`` [P, B, S, 2] overrides the random uniform grids —
+        used for deterministic eval and cross-framework parity tests."""
         b = partial.shape[0]
         s = self.num_points // self.n_primitives
         style = PointEncoder(
             bottleneck_size=self.bottleneck_size, train=self.train
         )(partial)
 
-        rand_grid = jax.random.uniform(
+        rand_grid = grids if grids is not None else jax.random.uniform(
             self.make_rng("grid"), (self.n_primitives, b, s, 2),
             dtype=partial.dtype,
         )

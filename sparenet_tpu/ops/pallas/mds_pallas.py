@@ -118,18 +118,10 @@ def _stage_kernel(lo: int, hi: int,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
 
-    def coords_at(nxt):
-        """Coordinates of per-row point nxt[r] via one-hot row
-        reductions. (A 128-lane dynamic-slice variant was ablated and is
-        ~36% SLOWER on v5e — per-row dynamic addressing serializes;
-        scripts/profile_mds.py v2 dyncoord=True vs False.)"""
-        sel = (lane == nxt[:, None]).astype(jnp.float32)
-        return (jnp.sum(x * sel, axis=1, keepdims=True),
-                jnp.sum(y * sel, axis=1, keepdims=True),
-                jnp.sum(z * sel, axis=1, keepdims=True))
-
     def body(j, carry):
-        prev_idx, sx, sy, sz = carry                   # [R], [R,1]x3
+        # carry: coords of the step-(j-1) selection (already pinned at
+        # the end of step j-1 — see the pin note below)
+        sx, sy, sz = carry                              # [R,1]x3
         ax = sx * (2.0 * kde)
         ay = sy * (2.0 * kde)
         az = sz * (2.0 * kde)
@@ -138,30 +130,43 @@ def _stage_kernel(lo: int, hi: int,
         told = tin_ref[:]
         # no pinned/padding guard: adds (<= 2) round away exactly
         # against the 2^40-based pin values (see encoding note above)
-        add = jnp.exp2(arg)
-        # the carried index was selected at step j-1; pin it now
-        temp = jnp.where(
-            lane == prev_idx[:, None],
+        temp = told + jnp.exp2(arg)
+        # lowest-index argmin, expressed so the one selection mask
+        # serves BOTH the pin write and the coords extraction (the old
+        # form recomputed the lane==idx compare and a f32 cast; fusing
+        # them trims 3 N-wide VPU passes per greedy step: pin-compare,
+        # cast, and the stage-epilogue pin pass)
+        m = jnp.min(temp, axis=1, keepdims=True)
+        packed = jnp.where(temp == m, lane, n)
+        mn = jnp.min(packed, axis=1, keepdims=True)     # argmin index
+        sel = packed == mn                              # one-hot [R, N]
+        # pin selection j NOW (end of step): value 2^40 + j * 2^17
+        tin_ref[:] = jnp.where(
+            sel,
             jnp.float32(_BIGBASE) +
-            (j - 1).astype(jnp.float32) * jnp.float32(_STEP_SCALE),
-            told + add)
-        tin_ref[:] = temp
-        nxt = argmin_lanes(temp).astype(jnp.int32)           # [R]
-        nx, ny, nz = coords_at(nxt)
-        return nxt, nx, ny, nz
+            j.astype(jnp.float32) * jnp.float32(_STEP_SCALE),
+            temp)
+        # coords of the selection via one-hot row reductions — a select
+        # (exactly one lane nonzero, so the sum is the element itself,
+        # bit-identical to the masked-multiply form). A 128-lane
+        # dynamic-slice variant was ablated and is ~36% SLOWER on v5e —
+        # per-row dynamic addressing serializes (scripts/profile_mds.py
+        # v2 dyncoord=True vs False.)
+        nx = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+        ny = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
+        nz = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
+        return nx, ny, nz
 
-    # selection lo-1 is already pinned (previous stage exit / init):
-    # start from the -1 sentinel so the first iteration pins nothing
-    init = (jnp.full((r,), -1, jnp.int32),
-            prev_ref[:, 0:1].astype(jnp.float32),
+    # selection lo-1 is already pinned (previous stage exit / init)
+    init = (prev_ref[:, 0:1].astype(jnp.float32),
             prev_ref[:, 1:2].astype(jnp.float32),
             prev_ref[:, 2:3].astype(jnp.float32))
-    nxt, lx, ly, lz = jax.lax.fori_loop(lo, hi, body, init)
+    lx, ly, lz = jax.lax.fori_loop(lo, hi, body, init)
 
-    # pin the final selection (step hi-1) and emit its coords
-    tout_ref[:] = jnp.where(
-        lane == nxt[:, None],
-        jnp.float32(_BIGBASE + (hi - 1) * _STEP_SCALE), tin_ref[:])
+    # selection hi-1 was pinned inside its own step; just emit the state
+    # (tin/tout alias the same buffer via input_output_aliases) and the
+    # final selection's coords for the next stage
+    tout_ref[:] = tin_ref[:]
     last_ref[:] = jnp.concatenate(
         [lx, ly, lz, jnp.zeros((r, 1), jnp.float32)], axis=1)
 
