@@ -76,6 +76,16 @@ def default_config() -> AttrDict:
         mesh_batch=0,           # devices on the batch mesh axis; 0 = all
         prefetch=2,             # host->device prefetch depth
         donate=True,            # donate train-state buffers to the jitted step
+        # multi-host (DCN) data parallelism: set multihost=True on every
+        # process and either leave the fields empty (TPU pod slices
+        # auto-discover via the metadata server) or set all three for
+        # explicit bootstrap. TRAIN.batch_size is PER PROCESS; the
+        # global mesh spans all hosts' devices and gradients psum over
+        # ICI+DCN. See parallel.mesh.maybe_init_distributed.
+        multihost=False,
+        coordinator_address="",  # e.g. "10.0.0.1:8476"
+        num_processes=0,         # 0 = auto-detect
+        process_id=-1,           # -1 = auto-detect
     )
 
     cfg.RENDER = _d(

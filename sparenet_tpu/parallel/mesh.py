@@ -21,6 +21,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 BATCH_AXIS = "batch"
 
 
+def maybe_init_distributed(cfg) -> bool:
+    """Multi-host (DCN) bootstrap, gated on ``cfg.TPU.multihost``.
+
+    Calls ``jax.distributed.initialize`` once per process so that
+    ``jax.devices()`` returns the GLOBAL device set and the 1-D batch
+    mesh below spans every host — gradients then psum over ICI within a
+    slice and DCN across slices, with no further code changes (the
+    jitted step is already SPMD). On TPU pod slices the coordinator /
+    process count / process id auto-discover; for manual bootstrap set
+    all three cfg.TPU fields. Returns True if initialization ran.
+
+    The reference has no multi-node path at all (single-process
+    torch.nn.DataParallel, SURVEY §2.7); this is the build's extension.
+    """
+    if not getattr(cfg.TPU, "multihost", False):
+        return False
+    kwargs = {}
+    if cfg.TPU.coordinator_address:
+        kwargs["coordinator_address"] = cfg.TPU.coordinator_address
+    if cfg.TPU.num_processes:
+        kwargs["num_processes"] = int(cfg.TPU.num_processes)
+    if int(cfg.TPU.process_id) >= 0:
+        kwargs["process_id"] = int(cfg.TPU.process_id)
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
 def get_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D batch mesh over the first n_devices (default: all)."""
     if devices is None:
@@ -45,8 +72,20 @@ def shard_batch(mesh: Mesh, batch):
     sh = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
     n = mesh.devices.size
+    n_proc = jax.process_count()
 
     def put(x):
+        if n_proc > 1:
+            # multi-host: x is this process's LOCAL slice of the global
+            # batch (each process's loader feeds TRAIN.batch_size items);
+            # assemble the global sharded array across DCN.
+            if x.ndim >= 1 and (x.shape[0] * n_proc) % n == 0:
+                return jax.make_array_from_process_local_data(sh, x)
+            raise ValueError(
+                f"multi-host batch of local size {x.shape[:1]} does not "
+                f"tile the {n}-device mesh over {n_proc} processes; pick "
+                "a per-process batch size divisible by the local device "
+                "count")
         if x.ndim >= 1 and x.shape[0] % n == 0:
             return jax.device_put(x, sh)
         # indivisible batch (e.g. the reference's batch-1 validation):

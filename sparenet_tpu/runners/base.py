@@ -27,6 +27,7 @@ from flax import struct
 from ..configs import AttrDict
 from ..data import data_init
 from ..parallel import get_mesh, shard_batch, replicate
+from ..parallel.mesh import maybe_init_distributed
 from ..utils import checkpoint as ckpt
 from ..utils import visualizer as uv
 from ..utils.logging import writer_init
@@ -88,6 +89,11 @@ class BaseRunner:
         with open(os.path.join(self.work_dir, "config.yaml"), "w") as f:
             f.write(yaml.dump(dict(self.config)))
 
+        if maybe_init_distributed(self.config):
+            self.logger.info(
+                "Multi-host: process %d/%d, %d global devices"
+                % (jax.process_index(), jax.process_count(),
+                   len(jax.devices())))
         self.mesh = get_mesh(self.config.TPU.mesh_batch or None)
         self.logger.info(f"Mesh: {self.mesh}")
 

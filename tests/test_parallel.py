@@ -25,6 +25,20 @@ def test_shard_batch_layout(rng):
     assert x.addressable_shards[0].data.shape == (2, 8, 3)
 
 
+def test_maybe_init_distributed_gated():
+    """multihost=False is a hard no-op; the knobs exist and merge."""
+    from sparenet_tpu.configs import default_config
+    from sparenet_tpu.parallel.mesh import maybe_init_distributed
+
+    cfg = default_config()
+    assert cfg.TPU.multihost is False
+    assert maybe_init_distributed(cfg) is False
+    # explicit-bootstrap fields are present for yaml override
+    assert cfg.TPU.coordinator_address == ""
+    assert cfg.TPU.num_processes == 0
+    assert cfg.TPU.process_id == -1
+
+
 def test_shard_batch_indivisible_fallback(rng):
     mesh = get_mesh()
     batch = {"x": rng.rand(3, 4).astype(np.float32)}
