@@ -134,7 +134,18 @@ class EdgeConv1x1(nn.Module):
         return e_max, e_min, e_mean
 
 
-def batch_norm_1d(train: bool, name: str | None = None) -> nn.BatchNorm:
+def serving_dtype(train: bool):
+    """bf16 activation dtype for eval under SPARENET_FAST_MATH — the
+    wide per-point conv chains (decoder folding at [B, 16384, 1026],
+    residual refiner at [B, 16384, 1088]) are HBM-traffic bound, so
+    halving the tensor width halves their cost; matmul accumulation
+    stays f32 inside the MXU, norms accumulate statistics in f32."""
+    from ..ops import common as _opc
+    return jnp.bfloat16 if (_opc.FAST_MATH and not train) else None
+
+
+def batch_norm_1d(train: bool, name: str | None = None,
+                  dtype: Any = None) -> nn.BatchNorm:
     """torch BatchNorm1d parity: eps 1e-5, momentum 0.1 (EMA decay 0.9)."""
     return nn.BatchNorm(
         use_running_average=not train,
@@ -142,6 +153,7 @@ def batch_norm_1d(train: bool, name: str | None = None) -> nn.BatchNorm:
         epsilon=1e-5,
         scale_init=bn1d_scale_init,
         name=name,
+        dtype=dtype,
     )
 
 
@@ -166,11 +178,19 @@ def adaptive_instance_norm(x: jnp.ndarray, weight: jnp.ndarray,
     Parity: AdaptiveInstanceNorm1d (models/sparenet_generator.py:909-956)
     — F.batch_norm over a (1, B*C, N) reshape with training=True, i.e.
     instance statistics per (sample, channel) with biased variance.
+
+    dtype-preserving: for bf16 x (serving mode) the statistics are
+    accumulated in f32 but the normalization applies in bf16, so the
+    [B, N, C] tensor never round-trips HBM at f32 width.
     """
-    mean = jnp.mean(x, axis=1, keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
-    xn = (x - mean) * jax.lax.rsqrt(var + eps)
-    return xn * weight[:, None, :] + bias[:, None, :]
+    mean = jnp.mean(x, axis=1, keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square((x - mean.astype(x.dtype)).astype(jnp.float32)),
+        axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xn = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+    return (xn * weight[:, None, :].astype(x.dtype)
+            + bias[:, None, :].astype(x.dtype))
 
 
 def grid_decoder_adain_sizes(bottleneck_size: int,
@@ -335,12 +355,15 @@ class EdgeConvResFeat(nn.Module):
         x4 = stage(x3, h // 4, 4) + x4_res
 
         xc = jnp.concatenate([x1, x2, x3, x4], axis=-1)    # [B,N,h/2]
-        xc = Conv1d(self.output_size // 2, use_bias=False)(xc)
-        xc = batch_norm_1d(train)(xc)
+        # conv5 tail: [B, N, output/2] is the encoder's widest tensor;
+        # serving mode runs it in bf16 (HBM-bound chain), pooled
+        # features return to f32 for the bottleneck head
+        xc = Conv1d(self.output_size // 2, use_bias=False, dtype=edt)(xc)
+        xc = batch_norm_1d(train, dtype=edt)(xc)
         xc = nn.leaky_relu(xc, negative_slope=0.2)
 
-        xmax = jnp.max(xc, axis=1)
-        xavg = jnp.mean(xc, axis=1)
+        xmax = jnp.max(xc, axis=1).astype(jnp.float32)
+        xavg = jnp.mean(xc, axis=1, dtype=jnp.float32)
         return jnp.concatenate([xmax, xavg], axis=-1)      # [B, output_size]
 
 
@@ -362,14 +385,15 @@ class PointGenCon(nn.Module):
     def __call__(self, x):
         train = self.train
         bs = self.bottleneck_size
+        dt = serving_dtype(train)
         for ch in (bs, bs // 2, bs // 4):
-            x = Conv1d(ch)(x)
-            x = batch_norm_1d(train)(x)
+            x = Conv1d(ch, dtype=dt)(x)
+            x = batch_norm_1d(train, dtype=dt)(x)
             if self.use_selayer:
                 x = SELayer(ch)(x)
             x = nn.relu(x)
-        x = Conv1d(3)(x)
-        return jnp.tanh(x)
+        x = Conv1d(3, dtype=dt)(x)
+        return jnp.tanh(x).astype(jnp.float32)
 
 
 def _siren_init(in_features: int, omega_0: float, is_first: bool):
@@ -426,15 +450,16 @@ class GridDecoder(nn.Module):
 
             return nn.Dense(3, kernel_init=out_init)(x)
 
+        dt = serving_dtype(train)
         for (ch, (w, b)) in zip(sizes, style):
-            x = Conv1d(ch)(x)
+            x = Conv1d(ch, dtype=dt)(x)
             x = adaptive_instance_norm(x, w, b)
-            x = batch_norm_1d(train)(x)
+            x = batch_norm_1d(train, dtype=dt)(x)
             if self.use_selayer:
                 x = SELayer(ch)(x)
             x = nn.relu(x)
-        x = Conv1d(3)(x)
-        return jnp.tanh(x)
+        x = Conv1d(3, dtype=dt)(x)
+        return jnp.tanh(x).astype(jnp.float32)
 
 
 class PointNetRes(nn.Module):
@@ -450,10 +475,11 @@ class PointNetRes(nn.Module):
     @nn.compact
     def __call__(self, x):
         train = self.train
+        dt = serving_dtype(train)
 
         def block(v, ch, se):
-            v = Conv1d(ch)(v)
-            v = batch_norm_1d(train)(v)
+            v = Conv1d(ch, dtype=dt)(v)
+            v = batch_norm_1d(train, dtype=dt)(v)
             if se and self.use_selayer:
                 v = SELayer(ch)(v)
             return nn.relu(v)
@@ -461,16 +487,16 @@ class PointNetRes(nn.Module):
         x = block(x, 64, True)
         pointfeat = x
         x = block(x, 128, True)
-        x = Conv1d(1024)(x)
-        x = batch_norm_1d(train)(x)
+        x = Conv1d(1024, dtype=dt)(x)
+        x = batch_norm_1d(train, dtype=dt)(x)
         g = jnp.max(x, axis=1, keepdims=True)              # [B,1,1024]
         g = jnp.broadcast_to(g, (x.shape[0], x.shape[1], 1024))
         x = jnp.concatenate([g, pointfeat], axis=-1)       # [B,N,1088]
         x = block(x, 512, True)
         x = block(x, 256, True)
         x = block(x, 128, True)
-        x = Conv1d(3)(x)
-        return jnp.tanh(x)
+        x = Conv1d(3, dtype=dt)(x)
+        return jnp.tanh(x).astype(jnp.float32)
 
 
 class EdgeRes(nn.Module):
