@@ -125,6 +125,11 @@ def _stage_kernel(lo: int, hi: int,
         ax = sx * (2.0 * kde)
         ay = sy * (2.0 * kde)
         az = sz * (2.0 * kde)
+        # NOTE: the -c term must stay INSIDE the exp2 argument (a
+        # scalar exp2(-c) post-scale of exp2(arg) would save one N-wide
+        # pass but overflows: without -c, arg ~ kde * |s|^2 can exceed
+        # 127 when t is tiny — degenerate clouds at train start — and
+        # inf * 0 poisons the densities with NaN)
         c = (sx * sx + sy * sy + sz * sz) * kde
         arg = x * ax + y * ay + z * az + (bias - c)
         told = tin_ref[:]
