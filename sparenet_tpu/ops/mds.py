@@ -36,12 +36,16 @@ _BIG = 1e9
 _HEAVY_FROM = 8192  # points at index >= this get 2x density weight
 
 # MDS implementation override: "auto" (Pallas greedy kernel on TPU, XLA
-# fori_loop elsewhere), "pallas", "xla", or "chunked" (validated chunked
-# selection, see _mds_chunked). Chunk size for the chunked path.
+# fori_loop elsewhere), "pallas", "xla", "chunked" (validated chunked
+# selection, see _mds_chunked), or "batched" (batch-greedy relaxation,
+# see _mds_batched). Chunk size shared by the chunked/batched paths.
 _MDS_IMPL = os.environ.get("SPARENET_MDS_IMPL", "auto").lower()
 _MDS_CHUNK = int(os.environ.get("SPARENET_MDS_CHUNK", "256"))
 if _MDS_CHUNK < 1:
     raise ValueError(f"SPARENET_MDS_CHUNK={_MDS_CHUNK} must be >= 1")
+_MDS_BATCH_G = int(os.environ.get("SPARENET_MDS_BATCH_G", "1024"))
+if _MDS_BATCH_G < 1:
+    raise ValueError(f"SPARENET_MDS_BATCH_G={_MDS_BATCH_G} must be >= 1")
 
 
 def _mds_one(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray) -> jnp.ndarray:
@@ -177,6 +181,69 @@ def _mds_chunked(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
     return jax.lax.stop_gradient(out)
 
 
+@functools.partial(jax.jit, static_argnames=("npoint", "g"))
+def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
+                 g: int = 512) -> jnp.ndarray:
+    """Batch-greedy MDS: select the G lowest-density points per round and
+    apply ONE fused density update, in ceil((npoint-1)/G) rounds.
+
+    This is a relaxation of sequential greedy (MDS_cuda.cu:104-211): the
+    G selections within a round do not see each other's density updates.
+    Validated chunked selection (_mds_chunked) shows exact greedy cannot
+    be batched at production t — the interaction radius of one update
+    spans most of the cloud, so the greedy-faithful accepted prefix
+    averages ~16-20 regardless of chunk size (scripts/
+    profile_mds_chunked.py). Batch-greedy trades trajectory parity for
+    ~G-way parallelism; selection-SET drift is what matters downstream
+    (the consumer gathers the selected set) and is measured by
+    scripts/profile_mds_batched.py.
+
+    Per round: stable lax.top_k (ties to the lower index, matching the
+    reference argmin) + a dot-form fused update
+      temp += w * exp2(2*kde*<x, s> + bias - kde*|s|^2),
+    the same exp2 algebra as the Pallas greedy kernel (mds_pallas.py).
+    Selection 0 is point 0; pinned densities 1e9; 2x weight for index
+    >= 8192 — all reference semantics preserved (MDS_module.py:8-41).
+    """
+    xyz = jax.lax.stop_gradient(xyz)
+    mean_mst_length = jax.lax.stop_gradient(mean_mst_length)
+    b, n, _ = xyz.shape
+    x = xyz.astype(jnp.float32)
+    l2e = jnp.float32(1.4426950408889634)
+    kde = (l2e / (5.0 * mean_mst_length * mean_mst_length)
+           ).astype(jnp.float32)[:, None]                     # [B,1]
+    lane = jnp.arange(n)[None, :]
+    logw = jnp.where(lane >= _HEAVY_FROM, 1.0, 0.0).astype(jnp.float32)
+    px2 = jnp.sum(x * x, axis=-1)                             # [B,N]
+    bias = logw - px2 * kde                                   # [B,N]
+    bids = jnp.arange(b)[:, None]
+
+    # round 0 seeds from selection 0 (= point 0)
+    s0 = x[:, :1]                                             # [B,1,3]
+    arg0 = (jnp.einsum("bnd,bgd->bng", x, 2.0 * kde[..., None] * s0)
+            + bias[..., None]
+            - (jnp.sum(s0 * s0, -1) * kde)[:, None, :])
+    temp = jnp.sum(jnp.exp2(arg0), axis=2)
+    temp = temp.at[:, 0].set(_BIG)
+    out = jnp.zeros((b, npoint), jnp.int32)                   # out[:,0] = 0
+
+    done, pos = 1, 1
+    while done < npoint:
+        take = min(g, npoint - done)
+        negv, c = jax.lax.top_k(-temp, take)                  # stable
+        s = jnp.take_along_axis(x, c[..., None], axis=1)      # [B,take,3]
+        out = jax.lax.dynamic_update_slice(out, c, (0, pos))
+        if done + take < npoint:                              # last: skip upd
+            arg = (jnp.einsum("bnd,bgd->bng", x, 2.0 * kde[..., None] * s)
+                   + bias[..., None]
+                   - (jnp.sum(s * s, -1) * kde)[:, None, :])
+            temp = temp + jnp.sum(jnp.exp2(arg), axis=2)
+            temp = temp.at[bids, c].set(_BIG)
+        done += take
+        pos += take
+    return jax.lax.stop_gradient(out)
+
+
 def minimum_density_sample(xyz: jnp.ndarray, npoint: int,
                            mean_mst_length: jnp.ndarray,
                            impl: str = "auto") -> jnp.ndarray:
@@ -191,9 +258,22 @@ def minimum_density_sample(xyz: jnp.ndarray, npoint: int,
     if impl == "auto" and _MDS_IMPL != "auto":
         impl = _MDS_IMPL
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+        from .common import FAST_MATH
+        if jax.default_backend() in ("cpu", "gpu"):
+            impl = "xla"
+        elif FAST_MATH:
+            # serving mode: batch-greedy is ~2.7x the exact greedy kernel
+            # (30 vs 80 ms at the production shape); its selection-set
+            # drift (gathered-cloud CD 4-9e-5, scripts/
+            # profile_mds_batched_acc.py) sits inside the serving-mode
+            # bf16 precision envelope. Parity mode keeps exact greedy.
+            impl = "batched"
+        else:
+            impl = "pallas"
     if impl == "chunked":
         return _mds_chunked(xyz, npoint, mean_mst_length, chunk=_MDS_CHUNK)
+    if impl == "batched":
+        return _mds_batched(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G)
     if impl == "pallas":
         from .pallas.mds_pallas import mds_pallas
         return mds_pallas(xyz, npoint, mean_mst_length)

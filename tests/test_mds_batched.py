@@ -1,0 +1,74 @@
+"""Batch-greedy MDS (ops/mds._mds_batched).
+
+Contract: a RELAXATION of sequential greedy (MDS_cuda.cu:104-211) —
+selections within a round do not see each other's density update. At
+g=1 the relaxation vanishes and it must reproduce the numpy replica
+index-for-index (f64). At g>1 the invariants are: selection 0 is point
+0, indices unique and in-range, and the selected SET stays close to
+greedy (hardware-measured gathered-cloud CD 4-9e-5 at production shape,
+scripts/profile_mds_batched_acc.py — inside the serving-mode envelope).
+"""
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparenet_tpu.ops.mds import _mds_batched, minimum_density_sample
+from test_mds_expansion import np_mds
+
+
+@contextlib.contextmanager
+def enable_x64():
+    jax.config.update("jax_enable_x64", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_batched_g1_is_exact_greedy_f64(rng):
+    xyz = rng.rand(2, 193, 3)
+    mml = np.array([0.25, 0.4])
+    with enable_x64():
+        idx = np.asarray(_mds_batched(
+            jnp.asarray(xyz, jnp.float64), 120,
+            jnp.asarray(mml, jnp.float64), g=1))
+    for b in range(2):
+        ref = np_mds(xyz[b], 120, float(mml[b]))
+        np.testing.assert_array_equal(idx[b], ref, err_msg=f"b={b}")
+
+
+def test_batched_invariants(rng):
+    xyz = jnp.asarray(rng.rand(3, 300, 3), jnp.float32)
+    mml = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    for g in (7, 64, 256):
+        idx = np.asarray(_mds_batched(xyz, 250, mml, g=g))
+        assert idx.shape == (3, 250)
+        assert (idx[:, 0] == 0).all()
+        assert (idx >= 0).all() and (idx < 300).all()
+        for b in range(3):
+            assert len(set(idx[b])) == 250, f"g={g} b={b} not unique"
+
+
+def test_batched_set_close_to_greedy(rng):
+    # at small scale the batch relaxation should still overlap greedy
+    # heavily (production-scale numbers are hardware-measured)
+    xyz = rng.rand(1, 400, 3)
+    idx = np.asarray(_mds_batched(
+        jnp.asarray(xyz, jnp.float32), 300,
+        jnp.asarray([0.15], jnp.float32), g=64))
+    ref = np_mds(xyz[0], 300, 0.15)
+    overlap = len(set(idx[0]) & set(ref)) / 300
+    assert overlap > 0.8, overlap
+
+
+def test_impl_routing_batched(monkeypatch, rng):
+    import sparenet_tpu.ops.mds as mdsmod
+    monkeypatch.setattr(mdsmod, "_MDS_IMPL", "batched")
+    xyz = jnp.asarray(rng.rand(1, 200, 3), jnp.float32)
+    mml = jnp.asarray([0.2], jnp.float32)
+    a = np.asarray(minimum_density_sample(xyz, 150, mml))
+    b = np.asarray(_mds_batched(xyz, 150, mml, g=mdsmod._MDS_BATCH_G))
+    np.testing.assert_array_equal(a, b)
