@@ -59,11 +59,18 @@ def set_distance_precision(name: str) -> None:
     DISTANCE_PRECISION = _PREC[name.upper()]
 
 
+def set_graph_precision(name: str) -> None:
+    """Set the kNN-graph matmul precision ('HIGHEST' | 'HIGH' | 'DEFAULT')."""
+    global GRAPH_PRECISION
+    GRAPH_PRECISION = _PREC[name.upper()]
+
+
 def set_fast_math(on: bool = True) -> None:
     """Toggle serving-mode fast math (distance precision + MDS coords)."""
     global FAST_MATH
     FAST_MATH = bool(on)
     set_distance_precision("DEFAULT" if on else "HIGHEST")
+    set_graph_precision("DEFAULT" if on else "HIGH")
 
 
 def cdiv(a: int, b: int) -> int:
@@ -92,10 +99,15 @@ def graph_dot(x: jnp.ndarray, yt: jnp.ndarray) -> jnp.ndarray:
     at half the MXU passes of HIGHEST; DEFAULT = single bf16 pass.
     """
     dn = (((1,), (0,)), ((), ()))
-    kw = dict(dimension_numbers=dn, preferred_element_type=jnp.float32)
+    # Pin precision=DEFAULT on the bf16 passes: if it were left to the
+    # global jax_default_matmul_precision and that is "highest", Mosaic
+    # receives a bf16 matmul with fp32 contract precision and fails to
+    # compile ("Bad lhs type").
+    kw = dict(dimension_numbers=dn, preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
     if GRAPH_PRECISION is jax.lax.Precision.HIGHEST:
-        return jax.lax.dot_general(x, yt, precision=jax.lax.Precision.HIGHEST,
-                                   **kw)
+        kw["precision"] = jax.lax.Precision.HIGHEST
+        return jax.lax.dot_general(x, yt, **kw)
     xh = x.astype(jnp.bfloat16)
     yh = yt.astype(jnp.bfloat16)
     if GRAPH_PRECISION is jax.lax.Precision.DEFAULT:
