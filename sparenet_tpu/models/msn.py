@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.expansion_penalty import expansion_penalty
+from ..ops.expansion_penalty import expansion_penalty, mean_mst_length_estimate
 from ..ops.mds import minimum_density_sample, gather_points
 from .atlasnet import PointEncoder
 from .layers import PointGenCon, PointNetRes
@@ -53,8 +53,15 @@ class MSN(nn.Module):
         outs = vdec(y)                                      # [P, B, S, 3]
         coarse = jnp.transpose(outs, (1, 0, 2, 3)).reshape(b, self.num_points, 3)
 
-        dist, _, mean_mst_dis = expansion_penalty(coarse, s, 1.5)
-        loss_mst = jnp.mean(dist)
+        from ..ops import common as _opc
+        if not self.train and _opc.FAST_MATH:
+            # serving mode: only the mean MST edge length is consumed
+            # (MDS temperature); see SpareNetRefine for the rationale.
+            mean_mst_dis = mean_mst_length_estimate(coarse, s)
+            loss_mst = jnp.float32(0.0)
+        else:
+            dist, _, mean_mst_dis = expansion_penalty(coarse, s, 1.5)
+            loss_mst = jnp.mean(dist)
 
         # flag channels + MDS resample (models/msn_generator.py:70-79)
         gen = jnp.concatenate(

@@ -43,7 +43,11 @@ _MDS_IMPL = os.environ.get("SPARENET_MDS_IMPL", "auto").lower()
 _MDS_CHUNK = int(os.environ.get("SPARENET_MDS_CHUNK", "256"))
 if _MDS_CHUNK < 1:
     raise ValueError(f"SPARENET_MDS_CHUNK={_MDS_CHUNK} must be >= 1")
-_MDS_BATCH_G = int(os.environ.get("SPARENET_MDS_BATCH_G", "1024"))
+# Batch-greedy round size. Measured on v5e at the production shape
+# (B=32, 19384 -> 16384): G=4096 is 23.1 ms vs 33.0 ms at G=1024 with
+# the same selection quality (gathered-cloud CD 2.66e-5 vs 2.75e-5,
+# set overlap 0.857 both; scripts/profile_serving2.py section 2).
+_MDS_BATCH_G = int(os.environ.get("SPARENET_MDS_BATCH_G", "4096"))
 if _MDS_BATCH_G < 1:
     raise ValueError(f"SPARENET_MDS_BATCH_G={_MDS_BATCH_G} must be >= 1")
 

