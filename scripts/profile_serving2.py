@@ -180,7 +180,7 @@ def main():
                       for b in range(min(B, 8))])
         return cd(got, ref_cloud), ov
 
-    for g in (1024, 2048, 4096):
+    for g in (4096, 8192, 16383):
         t = slope("batched top_k G=%d" % g,
                   lambda r, g=g: jax.jit(lambda cl: sum(
                       jnp.sum(_mds_batched(c, 16384, mml_true, g=g))
@@ -225,7 +225,7 @@ def main():
             pos += take
         return out
 
-    for g, rec in ((1024, 0.95), (1024, 0.99), (2048, 0.95)):
+    for g, rec in ((4096, 0.95),):
         t = slope("batched approx G=%d r=%.2f" % (g, rec),
                   lambda r, g=g, rec=rec: jax.jit(lambda cl: sum(
                       jnp.sum(mds_batched_approx(c, 16384, mml_true, g, rec))

@@ -77,13 +77,16 @@ class EdgeConv1x1(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, idx, extrema: bool = False):
+    def __call__(self, x, idx, extrema: bool = False, commute=None,
+                 need_mean: bool = False):
         c = x.shape[-1]
         kernel = self.param("kernel", kaiming_init,
                             (2 * c, self.features), jnp.float32)
         g1 = x @ kernel[:c]                               # x W1 [B,N,out]
         g2 = x @ kernel[c:]                               # x W2
         diff = g2 - g1
+        if commute is not None:
+            return self._commute(g1, diff, idx, commute, need_mean)
         if extrema:
             return self._extrema(g1, diff, idx)
         if self.dtype is not None:
@@ -96,6 +99,42 @@ class EdgeConv1x1(nn.Module):
         gj = jnp.take_along_axis(
             g1[:, :, None, :], idx[..., None], axis=1)    # [B,N,k,out]
         return gj + diff[:, :, None, :]
+
+    def _commute(self, g1, diff, idx, affine, need_mean):
+        """Eval-mode max-commute: one C-wide gather, no edge tensor.
+
+        ``affine`` = (a, b0): the downstream BatchNorm's eval affine per
+        channel. Since a is a per-channel CONSTANT, pre-scaling g1 by a
+        BEFORE the neighbor gather turns max-over-k of bn(e) into a max
+        of gathered rows — correct for BOTH signs of a (a<0 rows are
+        pre-negated, so max picks what bn's order reversal would):
+
+            max_k bn(gj_k + diff) = max_k (a*gj_k) + a*diff + b0
+
+        (exact up to float associativity vs the dense [B,N,k,C] chain).
+        Downstream SE (positive per-(B,C) scale) and leaky-relu
+        (increasing) also commute with max-over-k; the caller applies
+        them to the returned z. With need_mean, also returns
+        z_mean [B,C] = mean over all (point, neighbor) edges of bn(e)
+        — the dense path's SE squeeze statistic — as a SECOND fused
+        reduction over the same gathered rows (the in-degree scatter
+        alternative was measured slower: XLA scatter-add over 768k
+        duplicate indices cost more e2e than the whole commute win).
+        """
+        a, b0 = affine
+        g1s = g1 * a
+        if self.dtype is not None:
+            g1s = g1s.astype(self.dtype)
+        gj = jnp.take_along_axis(
+            g1s[:, :, None, :], idx[..., None], axis=1)    # [B,N,k,C]
+        m = jnp.max(gj, axis=2)
+        z = (m.astype(jnp.float32) + a * diff.astype(jnp.float32) + b0)
+        if not need_mean:
+            return z
+        mean_gj = jnp.mean(gj.astype(jnp.float32), axis=(1, 2))   # [B,C]
+        z_mean = (mean_gj
+                  + a * jnp.mean(diff.astype(jnp.float32), axis=1) + b0)
+        return z, z_mean
 
     def _extrema(self, g1, diff, idx):
         """Neighborhood extrema + edge mean without the edge tensor.
@@ -320,6 +359,26 @@ class EdgeConvResFeat(nn.Module):
             nbr = knn_idx(feat, k=self.k)                  # [B,N,k]
             conv = EdgeConv1x1(out_ch, dtype=edt)
             bn = batch_norm_2d(train, dtype=edt)
+            if not train and _opc.ENC_COMMUTE:
+                # eval max-commute path (see EdgeConv1x1._commute):
+                # extract BN's eval affine by probing it at 0 and 1 —
+                # BN eval is exactly affine per channel, and probing
+                # keeps the module call order (= param naming) and its
+                # dtype semantics identical to the dense path.
+                probe = jnp.zeros((1, 1, 1, out_ch),
+                                  edt or jnp.float32)
+                b0 = bn(probe)[0, 0, 0].astype(jnp.float32)
+                a = (bn(jnp.ones_like(probe))[0, 0, 0]
+                     .astype(jnp.float32) - b0)
+                out = conv(feat, nbr, commute=(a, b0),
+                           need_mean=self.use_selayer)
+                if self.use_selayer:
+                    z, z_mean = out
+                    z = SELayer(out_ch)(z, mean=z_mean)
+                else:
+                    z = out
+                z = nn.leaky_relu(z, negative_slope=0.2)
+                return z.astype(jnp.float32)
             if not train and _opc.EVAL_FAST:
                 # eval fast path: BN is affine per channel, SE scales
                 # are positive, leaky-relu is increasing — so the

@@ -23,6 +23,17 @@ _PREC = {
 # matmuls and bf16 MDS coordinates. Parity mode (default) keeps fp32.
 FAST_MATH = os.environ.get("SPARENET_FAST_MATH", "0") == "1"
 
+# SPARENET_ENC_COMMUTE=1 enables the eval-mode EdgeConv max-commute
+# path (models/layers.py): the stage's BN-affine / SE / leaky-relu /
+# max-over-k chain commutes to a SINGLE C-wide neighbor gather+max of
+# the pre-scaled per-point features — the [B, N, k, C] edge tensor
+# never exists and, unlike EVAL_FAST, the gather width stays C. Exact
+# up to float associativity. Hardware A/B (scripts/profile_enc_stage.py,
+# B=32 v5e): wins at every stage width — dense-vs-commute per stage
+# 8.4->8.0 / 8.7->8.3 / 12.8->10.9 / 24.4->20.8 ms bf16 (serving),
+# smaller but positive in f32 (parity) — so ON by default in eval.
+ENC_COMMUTE = os.environ.get("SPARENET_ENC_COMMUTE", "1") == "1"
+
 # SPARENET_EVAL_FAST=1 enables the eval-mode EdgeConv fast path
 # (neighborhood-extrema formulation; see models/layers.py). Exact in
 # value up to max-selection ties, but measured SLOWER on TPU v5e than

@@ -166,6 +166,7 @@ def test_sparenet_eval_fast_full_model_parity(rng, monkeypatch):
     )
     variables = model.init({"params": jax.random.PRNGKey(0)}, partial)
 
+    monkeypatch.setattr(opc, "ENC_COMMUTE", False)  # isolate EVAL_FAST
     monkeypatch.setattr(opc, "EVAL_FAST", False)
     ref = model.apply(variables, partial)
     monkeypatch.setattr(opc, "EVAL_FAST", True)
@@ -212,9 +213,68 @@ def test_edgeconv_eval_fast_path_parity(rng, monkeypatch):
                                 variables["batch_stats"])
     variables = {"params": variables["params"], "batch_stats": bs}
 
+    monkeypatch.setattr(opc, "ENC_COMMUTE", False)  # isolate EVAL_FAST
     monkeypatch.setattr(opc, "EVAL_FAST", False)
     ref = enc.apply(variables, x)
     monkeypatch.setattr(opc, "EVAL_FAST", True)
     fast = enc.apply(variables, x)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_edgeconv_commute_path_parity(rng, monkeypatch):
+    """The eval-mode max-commute formulation (single pre-scaled gather,
+    EdgeConv1x1._commute) must match the dense [B, N, k, C] path.
+
+    Randomized running stats give sign-mixed BN eval scales — negative
+    scales are handled by pre-negation inside the scaled gather; SE on
+    checks the z_mean squeeze statistic."""
+    from sparenet_tpu.models.layers import EdgeConvResFeat
+    from sparenet_tpu.ops import common as opc
+
+    x = jnp.asarray(rng.rand(2, 64, 3) * 2 - 1, jnp.float32)
+    enc = EdgeConvResFeat(hide_size=64, output_size=64,
+                          use_selayer=True, train=False)
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, x)
+
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    rs = np.random.RandomState(1)
+    leaves = [jnp.asarray(rs.randn(*l.shape) * 0.5, l.dtype)
+              if l.dtype == jnp.float32 else l for l in leaves]
+    variables = jax.tree_util.tree_unflatten(treedef, leaves)
+    bs = jax.tree_util.tree_map(lambda v: jnp.abs(v) + 0.1,
+                                variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    monkeypatch.setattr(opc, "ENC_COMMUTE", False)
+    ref = enc.apply(variables, x)
+    monkeypatch.setattr(opc, "ENC_COMMUTE", True)
+    fast = enc.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sparenet_enc_commute_full_model_parity(rng, monkeypatch):
+    """ENC_COMMUTE must not change the full eval-mode SpareNet forward
+    (same contract as the EVAL_FAST integration test)."""
+    from sparenet_tpu.ops import common as opc
+
+    partial = jnp.asarray(rng.rand(B, 64, 3), jnp.float32)
+    model = SpareNetGenerator(
+        num_points=N_OUT, n_primitives=PRIMS, bottleneck_size=128,
+        hide_size=128, use_adain="share", encode="Residualnet",
+        use_selayer=True, train=False,
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, partial)
+
+    monkeypatch.setattr(opc, "ENC_COMMUTE", False)
+    ref = model.apply(variables, partial)
+    monkeypatch.setattr(opc, "ENC_COMMUTE", True)
+    fast = model.apply(variables, partial)
+    np.testing.assert_allclose(np.asarray(fast[0]), np.asarray(ref[0]),
+                               rtol=2e-5, atol=2e-5)
+    from sparenet_tpu.ops.chamfer import chamfer_distance
+    for a, b in zip(ref[1:3], fast[1:3]):
+        assert float(chamfer_distance(a, b)) < 1e-9
+    np.testing.assert_allclose(np.asarray(fast[3]), np.asarray(ref[3]),
+                               rtol=1e-4, atol=1e-7)
