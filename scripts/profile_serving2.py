@@ -189,57 +189,6 @@ def main():
         print("   G=%-5d CD vs exact %.2e  set overlap %.3f"
               % (g, d, ov), flush=True)
 
-    # approx_min_k selection variant (inline experiment)
-    def mds_batched_approx(xyz, npoint, mml, g, recall):
-        xyz = jax.lax.stop_gradient(xyz)
-        b, n, _ = xyz.shape
-        x = xyz.astype(jnp.float32)
-        l2e = jnp.float32(1.4426950408889634)
-        kde = (l2e / (5.0 * mml * mml)).astype(jnp.float32)[:, None]
-        lane = jnp.arange(n)[None, :]
-        logw = jnp.where(lane >= 8192, 1.0, 0.0).astype(jnp.float32)
-        px2 = jnp.sum(x * x, axis=-1)
-        bias = logw - px2 * kde
-        bids = jnp.arange(b)[:, None]
-        s0 = x[:, :1]
-        arg0 = (jnp.einsum("bnd,bgd->bng", x, 2.0 * kde[..., None] * s0)
-                + bias[..., None]
-                - (jnp.sum(s0 * s0, -1) * kde)[:, None, :])
-        temp = jnp.sum(jnp.exp2(arg0), axis=2)
-        temp = temp.at[:, 0].set(1e9)
-        out = jnp.zeros((b, npoint), jnp.int32)
-        done, pos = 1, 1
-        while done < npoint:
-            take = min(g, npoint - done)
-            _, c = jax.lax.approx_min_k(temp, take, recall_target=recall)
-            s = jnp.take_along_axis(x, c[..., None], axis=1)
-            out = jax.lax.dynamic_update_slice(out, c, (0, pos))
-            if done + take < npoint:
-                arg = (jnp.einsum("bnd,bgd->bng", x,
-                                  2.0 * kde[..., None] * s)
-                       + bias[..., None]
-                       - (jnp.sum(s * s, -1) * kde)[:, None, :])
-                temp = temp + jnp.sum(jnp.exp2(arg), axis=2)
-                temp = temp.at[bids, c].set(1e9)
-            done += take
-            pos += take
-        return out
-
-    for g, rec in ((4096, 0.95),):
-        t = slope("batched approx G=%d r=%.2f" % (g, rec),
-                  lambda r, g=g, rec=rec: jax.jit(lambda cl: sum(
-                      jnp.sum(mds_batched_approx(c, 16384, mml_true, g, rec))
-                      for c in cl)), cats)
-        idx = mds_batched_approx(cat, 16384, mml_true, g, rec)
-        # approx_min_k may return duplicates across rounds? indices within
-        # a round are unique; across rounds pins make re-selection unlikely
-        # but approximate search can miss pins. Check validity:
-        uniq = np.mean([len(set(np.asarray(idx[b]).tolist())) / 16384
-                        for b in range(min(B, 8))])
-        d, ov = drift(idx)
-        print("   G=%-5d r=%.2f CD %.2e  overlap %.3f  uniq %.4f"
-              % (g, rec, d, ov, uniq), flush=True)
-
     # ---------------------------------------------------------------- 3.
     print("\n== 3. serving mml estimator (NN-mean) ==", flush=True)
 

@@ -10,7 +10,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.expansion_penalty import expansion_penalty, mean_mst_length_estimate
-from ..ops.mds import minimum_density_sample, gather_points
+from ..ops.mds import (minimum_density_sample, minimum_density_sample_xyz,
+                       gather_points)
 from .atlasnet import PointEncoder
 from .layers import PointGenCon, PointNetRes
 
@@ -64,15 +65,27 @@ class MSN(nn.Module):
             loss_mst = jnp.mean(dist)
 
         # flag channels + MDS resample (models/msn_generator.py:70-79)
-        gen = jnp.concatenate(
-            [coarse, jnp.zeros((b, self.num_points, 1), coarse.dtype)], axis=-1
-        )
-        part = jnp.concatenate(
-            [partial, jnp.ones(partial.shape[:2] + (1,), coarse.dtype)], axis=-1
-        )
-        base = jnp.concatenate([gen, part], axis=1)
-        idx = minimum_density_sample(base[..., :3], self.num_points, mean_mst_dis)
-        base = gather_points(base, idx)
+        if not self.train and _opc.FAST_MATH:
+            # serving: fused selection+gather, flag from index math
+            # (see SpareNetRefine)
+            cat_xyz = jnp.concatenate([coarse, partial], axis=1)
+            idx, sel = minimum_density_sample_xyz(
+                cat_xyz, self.num_points, mean_mst_dis)
+            flag = (idx >= self.num_points).astype(coarse.dtype)[..., None]
+            base = jnp.concatenate([sel, flag], axis=-1)
+        else:
+            gen = jnp.concatenate(
+                [coarse, jnp.zeros((b, self.num_points, 1), coarse.dtype)],
+                axis=-1
+            )
+            part = jnp.concatenate(
+                [partial, jnp.ones(partial.shape[:2] + (1,), coarse.dtype)],
+                axis=-1
+            )
+            base = jnp.concatenate([gen, part], axis=1)
+            idx = minimum_density_sample(
+                base[..., :3], self.num_points, mean_mst_dis)
+            base = gather_points(base, idx)
 
         delta = PointNetRes(train=self.train)(base)
         refine = base[..., :3] + delta

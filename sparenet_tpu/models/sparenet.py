@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.expansion_penalty import expansion_penalty, mean_mst_length_estimate
-from ..ops.mds import minimum_density_sample, gather_points
+from ..ops.mds import (minimum_density_sample, minimum_density_sample_xyz,
+                       gather_points)
 from .layers import (
     EdgeConvResFeat,
     EdgeRes,
@@ -194,16 +195,27 @@ class SpareNetRefine(nn.Module):
 
         # flag channel: 0 for generated, 1 for partial
         # (models/sparenet_generator.py:563-568)
-        inps = jnp.concatenate(
-            [coarse, jnp.zeros((b, n, 1), coarse.dtype)], axis=-1
-        )
-        part = jnp.concatenate(
-            [partial, jnp.ones(partial.shape[:2] + (1,), coarse.dtype)], axis=-1
-        )
-        base = jnp.concatenate([inps, part], axis=1)      # [B, N+N_in, 4]
+        if not self.train and _opc.FAST_MATH:
+            # serving: the batched MDS returns its per-round gathered
+            # coordinates, and the flag channel is pure index math
+            # (idx >= n <=> the row came from the partial block) — the
+            # full-width gather_points over the base cloud disappears.
+            cat_xyz = jnp.concatenate([coarse, partial], axis=1)
+            idx, sel = minimum_density_sample_xyz(cat_xyz, n, mean_mst_dis)
+            flag = (idx >= n).astype(coarse.dtype)[..., None]
+            base = jnp.concatenate([sel, flag], axis=-1)  # [B, N, 4]
+        else:
+            inps = jnp.concatenate(
+                [coarse, jnp.zeros((b, n, 1), coarse.dtype)], axis=-1
+            )
+            part = jnp.concatenate(
+                [partial, jnp.ones(partial.shape[:2] + (1,), coarse.dtype)],
+                axis=-1
+            )
+            base = jnp.concatenate([inps, part], axis=1)  # [B, N+N_in, 4]
 
-        idx = minimum_density_sample(base[..., :3], n, mean_mst_dis)
-        base = gather_points(base, idx)                   # [B, N, 4]
+            idx = minimum_density_sample(base[..., :3], n, mean_mst_dis)
+            base = gather_points(base, idx)               # [B, N, 4]
 
         if self.edgeres:
             delta = EdgeRes(use_selayer=self.use_selayer, train=self.train)(base)

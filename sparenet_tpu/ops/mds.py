@@ -44,10 +44,13 @@ _MDS_CHUNK = int(os.environ.get("SPARENET_MDS_CHUNK", "256"))
 if _MDS_CHUNK < 1:
     raise ValueError(f"SPARENET_MDS_CHUNK={_MDS_CHUNK} must be >= 1")
 # Batch-greedy round size. Measured on v5e at the production shape
-# (B=32, 19384 -> 16384): G=4096 is 23.1 ms vs 33.0 ms at G=1024 with
-# the same selection quality (gathered-cloud CD 2.66e-5 vs 2.75e-5,
-# set overlap 0.857 both; scripts/profile_serving2.py section 2).
-_MDS_BATCH_G = int(os.environ.get("SPARENET_MDS_BATCH_G", "4096"))
+# (B=32, 19384 -> 16384, scripts/profile_serving2.py section 2):
+# G=8192 (two rounds, ONE density update) is 13.9 ms vs 23.1 at G=4096
+# vs 33.0 at G=1024, with selection quality FLAT-to-better across
+# 1024..8192 (gathered-cloud CD 2.45e-5 at 8192, 2.7e-5 below; set
+# overlap 0.865 / 0.858). G=npoint-1 (zero updates) collapses quality
+# (CD 1.2e-3) — the single update round is what matters.
+_MDS_BATCH_G = int(os.environ.get("SPARENET_MDS_BATCH_G", "8192"))
 if _MDS_BATCH_G < 1:
     raise ValueError(f"SPARENET_MDS_BATCH_G={_MDS_BATCH_G} must be >= 1")
 
@@ -185,9 +188,9 @@ def _mds_chunked(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
     return jax.lax.stop_gradient(out)
 
 
-@functools.partial(jax.jit, static_argnames=("npoint", "g"))
+@functools.partial(jax.jit, static_argnames=("npoint", "g", "return_xyz"))
 def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
-                 g: int = 512) -> jnp.ndarray:
+                 g: int = 512, return_xyz: bool = False) -> jnp.ndarray:
     """Batch-greedy MDS: select the G lowest-density points per round and
     apply ONE fused density update, in ceil((npoint-1)/G) rounds.
 
@@ -208,6 +211,13 @@ def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
     the same exp2 algebra as the Pallas greedy kernel (mds_pallas.py).
     Selection 0 is point 0; pinned densities 1e9; 2x weight for index
     >= 8192 — all reference semantics preserved (MDS_module.py:8-41).
+
+    With ``return_xyz`` also returns the SELECTED coordinates
+    [B, npoint, 3] assembled from the per-round gathers the density
+    update performs anyway — the consumer's separate full-width
+    gather_points over the base cloud is then mostly index math (the
+    serving refine path; only the final round's rows are gathered
+    extra).
     """
     xyz = jax.lax.stop_gradient(xyz)
     mean_mst_length = jax.lax.stop_gradient(mean_mst_length)
@@ -230,14 +240,24 @@ def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
     temp = jnp.sum(jnp.exp2(arg0), axis=2)
     temp = temp.at[:, 0].set(_BIG)
     out = jnp.zeros((b, npoint), jnp.int32)                   # out[:,0] = 0
+    out_xyz = None
+    if return_xyz:
+        out_xyz = jnp.zeros((b, npoint, 3), xyz.dtype)
+        out_xyz = jax.lax.dynamic_update_slice(
+            out_xyz, xyz[:, :1], (0, 0, 0))
 
     done, pos = 1, 1
     while done < npoint:
         take = min(g, npoint - done)
         negv, c = jax.lax.top_k(-temp, take)                  # stable
-        s = jnp.take_along_axis(x, c[..., None], axis=1)      # [B,take,3]
+        last = done + take >= npoint
         out = jax.lax.dynamic_update_slice(out, c, (0, pos))
-        if done + take < npoint:                              # last: skip upd
+        if not last or return_xyz:
+            s = jnp.take_along_axis(x, c[..., None], axis=1)  # [B,take,3]
+        if return_xyz:
+            out_xyz = jax.lax.dynamic_update_slice(
+                out_xyz, s.astype(xyz.dtype), (0, pos, 0))
+        if not last:
             arg = (jnp.einsum("bnd,bgd->bng", x, 2.0 * kde[..., None] * s)
                    + bias[..., None]
                    - (jnp.sum(s * s, -1) * kde)[:, None, :])
@@ -245,6 +265,8 @@ def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
             temp = temp.at[bids, c].set(_BIG)
         done += take
         pos += take
+    if return_xyz:
+        return jax.lax.stop_gradient(out), jax.lax.stop_gradient(out_xyz)
     return jax.lax.stop_gradient(out)
 
 
@@ -283,6 +305,32 @@ def minimum_density_sample(xyz: jnp.ndarray, npoint: int,
         return mds_pallas(xyz, npoint, mean_mst_length)
     idx = jax.vmap(lambda p, m: _mds_one(p, npoint, m))(xyz, mean_mst_length)
     return jax.lax.stop_gradient(idx)
+
+
+def minimum_density_sample_xyz(xyz: jnp.ndarray, npoint: int,
+                               mean_mst_length: jnp.ndarray,
+                               impl: str = "auto"):
+    """Like minimum_density_sample, but also returns the SELECTED
+    coordinates xyz[idx] [B, npoint, 3] (both stop-gradiented).
+
+    The batched impl assembles them from the per-round gathers its
+    density update performs anyway, so the consumer saves a full-width
+    gather over the base cloud (~75%% of the rows at G=4096); other
+    impls gather once after selection.
+    """
+    if impl == "auto" and _MDS_IMPL != "auto":
+        impl = _MDS_IMPL
+    if impl == "auto":
+        from .common import FAST_MATH
+        if jax.default_backend() not in ("cpu", "gpu") and FAST_MATH:
+            impl = "batched"
+    if impl == "batched":
+        return _mds_batched(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
+                            return_xyz=True)
+    idx = minimum_density_sample(xyz, npoint, mean_mst_length, impl=impl)
+    sel = jnp.take_along_axis(jax.lax.stop_gradient(xyz),
+                              idx[..., None], axis=1)
+    return idx, sel
 
 
 @jax.custom_vjp

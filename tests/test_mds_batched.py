@@ -72,3 +72,36 @@ def test_impl_routing_batched(monkeypatch, rng):
     a = np.asarray(minimum_density_sample(xyz, 150, mml))
     b = np.asarray(_mds_batched(xyz, 150, mml, g=mdsmod._MDS_BATCH_G))
     np.testing.assert_array_equal(a, b)
+
+
+def test_batched_return_xyz_matches_gather(rng):
+    xyz = jnp.asarray(rng.rand(2, 300, 3), jnp.float32)
+    mml = jnp.asarray([0.1, 0.25], jnp.float32)
+    for g in (64, 100, 256):
+        idx0 = np.asarray(_mds_batched(xyz, 250, mml, g=g))
+        idx, sel = _mds_batched(xyz, 250, mml, g=g, return_xyz=True)
+        np.testing.assert_array_equal(np.asarray(idx), idx0)
+        want = np.take_along_axis(np.asarray(xyz),
+                                  idx0[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(sel), want)
+
+
+def test_mds_xyz_api_fallback_and_batched(monkeypatch, rng):
+    """minimum_density_sample_xyz: the non-batched fallback gathers after
+    selection; forcing the batched impl must give (idx, xyz[idx]) too."""
+    import sparenet_tpu.ops.mds as mdsmod
+    from sparenet_tpu.ops.mds import minimum_density_sample_xyz
+
+    xyz = jnp.asarray(rng.rand(1, 200, 3), jnp.float32)
+    mml = jnp.asarray([0.2], jnp.float32)
+
+    idx, sel = minimum_density_sample_xyz(xyz, 150, mml)  # cpu -> xla
+    want = np.take_along_axis(np.asarray(xyz),
+                              np.asarray(idx)[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(sel), want)
+
+    monkeypatch.setattr(mdsmod, "_MDS_IMPL", "batched")
+    idx_b, sel_b = minimum_density_sample_xyz(xyz, 150, mml)
+    want_b = np.take_along_axis(np.asarray(xyz),
+                                np.asarray(idx_b)[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(sel_b), want_b)
