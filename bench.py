@@ -92,6 +92,9 @@ def main():
         "value": round(clouds_per_sec, 2),
         "unit": "clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / 250.0, 4),
+        # bf16 = full serving mode (fast math, batched MDS, NN-mean
+        # mml); fp32 = parity mode (reference-faithful numerics).
+        "mode": "serving" if dtype_flag == "bf16" else "parity",
     }
     print(json.dumps(result))
 

@@ -358,15 +358,20 @@ class EdgeConvResFeat(nn.Module):
         def stage(feat, out_ch, idx):
             nbr = knn_idx(feat, k=self.k)                  # [B,N,k]
             conv = EdgeConv1x1(out_ch, dtype=edt)
-            bn = batch_norm_2d(train, dtype=edt)
-            if not train and _opc.ENC_COMMUTE:
+            commute = (not train) and _opc.ENC_COMMUTE
+            # The commute path only uses BN to probe its eval affine;
+            # probe in f32 — the BN params/stats are stored f32, and a
+            # bf16 probe would make `a` a difference of two bf16-rounded
+            # values (cancellation noise multiplying every gathered
+            # row). Only g1*a is cast to bf16, inside _commute.
+            bn = batch_norm_2d(train, dtype=None if commute else edt)
+            if commute:
                 # eval max-commute path (see EdgeConv1x1._commute):
                 # extract BN's eval affine by probing it at 0 and 1 —
                 # BN eval is exactly affine per channel, and probing
-                # keeps the module call order (= param naming) and its
-                # dtype semantics identical to the dense path.
-                probe = jnp.zeros((1, 1, 1, out_ch),
-                                  edt or jnp.float32)
+                # keeps the module call order (= param naming)
+                # identical to the dense path.
+                probe = jnp.zeros((1, 1, 1, out_ch), jnp.float32)
                 b0 = bn(probe)[0, 0, 0].astype(jnp.float32)
                 a = (bn(jnp.ones_like(probe))[0, 0, 0]
                      .astype(jnp.float32) - b0)

@@ -77,11 +77,17 @@ def set_graph_precision(name: str) -> None:
 
 
 def set_fast_math(on: bool = True) -> None:
-    """Toggle serving-mode fast math (distance precision + MDS coords)."""
+    """Toggle serving-mode fast math (distance precision + MDS coords).
+
+    Precisions are re-derived exactly as at import: an explicit
+    SPARENET_DISTANCE_PRECISION / SPARENET_GRAPH_PRECISION env override
+    survives the toggle (set_fast_math(False) used to clobber it)."""
     global FAST_MATH
     FAST_MATH = bool(on)
-    set_distance_precision("DEFAULT" if on else "HIGHEST")
-    set_graph_precision("DEFAULT" if on else "HIGH")
+    set_distance_precision(os.environ.get(
+        "SPARENET_DISTANCE_PRECISION", "DEFAULT" if on else "HIGHEST"))
+    set_graph_precision(os.environ.get(
+        "SPARENET_GRAPH_PRECISION", "DEFAULT" if on else "HIGH"))
 
 
 def cdiv(a: int, b: int) -> int:

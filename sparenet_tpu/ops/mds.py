@@ -252,11 +252,15 @@ def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
         negv, c = jax.lax.top_k(-temp, take)                  # stable
         last = done + take >= npoint
         out = jax.lax.dynamic_update_slice(out, c, (0, pos))
-        if not last or return_xyz:
+        if not last:
             s = jnp.take_along_axis(x, c[..., None], axis=1)  # [B,take,3]
         if return_xyz:
+            # gather the RETURNED rows from the original xyz (not the
+            # internal f32 cast x), so sel == xyz[idx] exactly for any
+            # input dtype; for f32 inputs XLA CSEs the two gathers.
             out_xyz = jax.lax.dynamic_update_slice(
-                out_xyz, s.astype(xyz.dtype), (0, pos, 0))
+                out_xyz, jnp.take_along_axis(xyz, c[..., None], axis=1),
+                (0, pos, 0))
         if not last:
             arg = (jnp.einsum("bnd,bgd->bng", x, 2.0 * kde[..., None] * s)
                    + bias[..., None]
