@@ -39,6 +39,69 @@ def test_maybe_init_distributed_gated():
     assert cfg.TPU.process_id == -1
 
 
+def test_multihost_two_process_executes_dcn_path(tmp_path):
+    """REAL 2-process coverage of the multi-host branch: both processes
+    bootstrap via maybe_init_distributed (jax.distributed.initialize) on
+    a local coordinator, build the global mesh, and drive shard_batch's
+    make_array_from_process_local_data branch through a loss+grad step.
+    Both processes must agree on the loss, and it must match the
+    single-process value on the same global batch."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(root, "tests", "_multihost_worker.py"),
+             str(pid), str(port), "4"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=root)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+    results = [json.loads(out.strip().splitlines()[-1]) for out, _ in outs]
+    assert {r["process_id"] for r in results} == {0, 1}
+    for r in results:
+        assert r["processes"] == 2 and r["devices"] == 8
+
+    # single-process value on the same global batch (8-device local mesh)
+    import jax
+    import jax.numpy as jnp
+    from sparenet_tpu.models import AtlasNet
+    from sparenet_tpu.ops.chamfer import chamfer_raw
+
+    model = AtlasNet(num_points=64, bottleneck_size=32, n_primitives=4,
+                     train=True)
+    rs = np.random.RandomState(0)
+    partial = rs.rand(16, 32, 3).astype(np.float32)
+    gt = rs.rand(16, 64, 3).astype(np.float32)
+    keys = {"params": jax.random.PRNGKey(0), "grid": jax.random.PRNGKey(1)}
+    variables = model.init(keys, jnp.asarray(partial[:8]))
+
+    out, _ = model.apply(variables, jnp.asarray(partial),
+                         mutable=["batch_stats"],
+                         rngs={"grid": jax.random.PRNGKey(7)})
+    d1, d2, _, _ = chamfer_raw(out, jnp.asarray(gt))
+    expected = float(jnp.mean(d1) + jnp.mean(d2))
+
+    for r in results:
+        np.testing.assert_allclose(r["loss"], expected, rtol=1e-5)
+        assert np.isfinite(r["gnorm"])
+    assert abs(results[0]["loss"] - results[1]["loss"]) < 1e-12
+
+
 def test_shard_batch_indivisible_fallback(rng):
     mesh = get_mesh()
     batch = {"x": rng.rand(3, 4).astype(np.float32)}
