@@ -24,6 +24,11 @@ class MSN(nn.Module):
     bottleneck_size: int = 1024
     n_primitives: int = 32
     train: bool = True
+    # serving-mode NN-mean -> mml ratio, calibrated on MSN's OWN coarse
+    # outputs (the ratio is distribution dependent; SpareNet's 3.18 does
+    # not transfer — see ops/expansion_penalty.py and
+    # docs/SERVING_ENVELOPE.md)
+    mml_calibration: float = 3.18
 
     @nn.compact
     def __call__(self, partial, grids=None):
@@ -58,7 +63,8 @@ class MSN(nn.Module):
         if not self.train and _opc.FAST_MATH:
             # serving mode: only the mean MST edge length is consumed
             # (MDS temperature); see SpareNetRefine for the rationale.
-            mean_mst_dis = mean_mst_length_estimate(coarse, s)
+            mean_mst_dis = mean_mst_length_estimate(
+                coarse, s, calibration=self.mml_calibration)
             loss_mst = jnp.float32(0.0)
         else:
             dist, _, mean_mst_dis = expansion_penalty(coarse, s, 1.5)

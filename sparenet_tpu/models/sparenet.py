@@ -173,6 +173,10 @@ class SpareNetRefine(nn.Module):
     use_selayer: bool = False
     edgeres: bool = False
     train: bool = True
+    # serving-mode NN-mean -> mean-MST-edge-length ratio; the ratio is
+    # coarse-cloud-distribution dependent, so it is a PER-MODEL knob
+    # (MSN carries its own; see ops/expansion_penalty.py)
+    mml_calibration: float = 3.18
 
     @nn.compact
     def __call__(self, coarse, partial):
@@ -187,7 +191,8 @@ class SpareNetRefine(nn.Module):
             # a training loss. The NN-mean estimate replaces the
             # sequential Prim's kernel (0.2 ms vs 6.8 ms at B=32; see
             # ops/expansion_penalty.py:mean_mst_length_estimate).
-            mean_mst_dis = mean_mst_length_estimate(coarse, prim_size)
+            mean_mst_dis = mean_mst_length_estimate(
+                coarse, prim_size, calibration=self.mml_calibration)
             loss_mst = jnp.float32(0.0)
         else:
             dist, _, mean_mst_dis = expansion_penalty(coarse, prim_size, 1.5)
@@ -240,6 +245,7 @@ class SpareNetGenerator(nn.Module):
     use_adain: str = "share"
     encode: str = "Pointfeat"
     train: bool = True
+    mml_calibration: float = 3.18  # serving-mode knob, see SpareNetRefine
 
     def setup(self):
         self.encoder = SpareNetEncode(
@@ -262,6 +268,7 @@ class SpareNetGenerator(nn.Module):
             n_primitives=self.n_primitives,
             use_selayer=self.use_selayer,
             train=self.train,
+            mml_calibration=self.mml_calibration,
         )
 
     def __call__(self, partial):

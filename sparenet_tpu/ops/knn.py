@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import common as _common
 from .common import pairwise_sqdist_graph, pick_chunk
 
 __all__ = ["knn_idx", "get_graph_feature"]
@@ -66,7 +67,9 @@ def knn_idx(x: jnp.ndarray, k: int, impl: str = "auto") -> jnp.ndarray:
         impl = "pallas" if (on_tpu and n <= 16384 and c <= 1024) else "xla"
     if impl == "pallas":
         from .pallas.knn_pallas import knn_self_pallas
-        return knn_self_pallas(x, k)
+        # serving mode: packed-key selection (~11-mantissa-bit distance
+        # ranking, lowest-index ties) halves the per-k selection passes
+        return knn_self_pallas(x, k, packed=_common.FAST_MATH)
     return jax.vmap(lambda p: _knn_one(p, p, k))(x)
 
 

@@ -66,13 +66,26 @@ def _knn_kernel(k: int, n_valid: int, x_ref, xt_ref, idx_ref, d_scr):
                 jnp.float32(_BIG), d_scr[:])
 
 
-def _knn_onechunk_kernel(k: int, n_valid: int, x_ref, xt_ref, idx_ref):
+def _knn_onechunk_kernel(k: int, n_valid: int, packed: bool,
+                         x_ref, xt_ref, idx_ref):
     """Single-c-chunk variant: the whole [C, N] xt stays VMEM-resident
     across the q-tile axis (its block index is constant in qi, so Mosaic
     fetches it once per batch item), and the distance tile is one
     full-K MXU matmul — no per-chunk accumulate passes and no [N, N]
     scratch. Ablations: the chunked kernel's cost scaled with C through
     the scratch-accumulate passes, not DMA or matmul precision.
+
+    ``packed`` (serving mode): selection ranks a single i32 key per
+    candidate — the high bits of the (non-negative) f32 distance's bit
+    pattern, which are order-isomorphic to the value, OR'd with the
+    lane index in the low bits — so each of the k passes is ONE lane
+    min-reduce plus ONE compare/select update (the key is unique per
+    lane, so the update touches exactly the selected element), instead
+    of the 4-pass exact argmin+mask sequence. Ranking precision is the
+    distance truncated to (23 - ceil(log2(n))) mantissa bits with
+    lowest-index tie-break; at the encoder's n=3072 that is 11 mantissa
+    bits — well inside serving tolerance (the serving-mode distance
+    matmul is already single-pass bf16, 7 mantissa bits).
     Grid: (batch, q_tiles)."""
     xq = x_ref[0]                                            # [Q, C]
     yt = xt_ref[0]                                           # [C, N]
@@ -83,16 +96,27 @@ def _knn_onechunk_kernel(k: int, n_valid: int, x_ref, xt_ref, idx_ref):
     d = x2 + y2 - 2.0 * graph_dot(xq, yt)
     lane_n = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
     d = jnp.where(lane_n >= n_valid, jnp.float32(_BIG), d)
+    if packed:
+        bits = max(int(n - 1).bit_length(), 1)
+        # squared distances are mathematically >= 0; clamp the tiny
+        # negative float noise so the bit pattern stays order-isomorphic
+        d = jnp.maximum(d, 0.0)
+        key = (pltpu.bitcast(d, jnp.int32) & jnp.int32(-(1 << bits))) | lane_n
+        for j in range(k):
+            mk = jnp.min(key, axis=-1)                       # [Q]
+            idx_ref[0, j, :] = mk & jnp.int32((1 << bits) - 1)
+            key = jnp.where(key == mk[:, None], jnp.int32(0x7FFFFFFF), key)
+        return
     for j in range(k):
         i = argmin_lanes(d).astype(jnp.int32)                # [Q]
         idx_ref[0, j, :] = i
         d = jnp.where(lane_n == i[:, None], jnp.float32(_BIG), d)
 
 
-def _knn_onechunk(xp, xt, k, n, n_pad, c_pad, interpret):
+def _knn_onechunk(xp, xt, k, n, n_pad, c_pad, interpret, packed=False):
     b = xp.shape[0]
     q = 128 if n_pad >= 128 else n_pad
-    kernel = functools.partial(_knn_onechunk_kernel, k, n)
+    kernel = functools.partial(_knn_onechunk_kernel, k, n, packed)
     return pl.pallas_call(
         kernel,
         grid=(b, n_pad // q),
@@ -116,10 +140,15 @@ def _knn_onechunk(xp, xt, k, n, n_pad, c_pad, interpret):
 _ONECHUNK_MAX_ELEMS = 1024 * 8192
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def knn_self_pallas(x: jnp.ndarray, k: int, interpret: bool = False) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "packed"))
+def knn_self_pallas(x: jnp.ndarray, k: int, interpret: bool = False,
+                    packed: bool = False) -> jnp.ndarray:
     """Self-kNN indices for x [B, N, C] -> [B, N, k] int32 (includes self;
-    lowest-index tie-breaking, same as ops/knn.py)."""
+    lowest-index tie-breaking, same as ops/knn.py).
+
+    ``packed=True`` (serving mode, single-chunk shapes only): packed-key
+    selection — ranks by the distance truncated to ~11 mantissa bits;
+    see _knn_onechunk_kernel."""
     # neighbor indices are non-differentiable (torch.topk indices in the
     # reference); stop gradients so autodiff never traces the kernel
     x = jax.lax.stop_gradient(x)
@@ -135,7 +164,8 @@ def knn_self_pallas(x: jnp.ndarray, k: int, interpret: bool = False) -> jnp.ndar
     xt = jnp.transpose(xp, (0, 2, 1))                        # [B, C, N]
 
     if c_pad * n_pad <= _ONECHUNK_MAX_ELEMS:
-        idx = _knn_onechunk(xp, xt, k, n, n_pad, c_pad, interpret)
+        idx = _knn_onechunk(xp, xt, k, n, n_pad, c_pad, interpret,
+                            packed=packed)
         return jnp.transpose(idx, (0, 2, 1))[:, :n]          # [B, N, k]
 
     kernel = functools.partial(_knn_kernel, k, n)

@@ -211,3 +211,74 @@ def test_mds_pallas_multirow_grid(rng, monkeypatch):
     i_ref = np.asarray(minimum_density_sample(x, 128, mml, impl="xla"))
     i_pal = np.asarray(mds_pallas(x, 128, mml, interpret=True))
     np.testing.assert_array_equal(i_pal, i_ref)
+
+
+def test_knn_pallas_packed_matches_exact(rng):
+    # packed-key serving selection: on generic random clouds (no
+    # engineered near-ties at the truncated-mantissa scale) the picks
+    # match the exact kernel; ties break to the lowest index by the
+    # key's embedded lane bits
+    from sparenet_tpu.ops.pallas.knn_pallas import knn_self_pallas
+
+    x = jnp.asarray(rng.rand(2, 300, 20) - 0.5, jnp.float32)
+    i_ref = np.asarray(knn_self_pallas(x, 6, interpret=True))
+    i_pal = np.asarray(knn_self_pallas(x, 6, packed=True, interpret=True))
+    assert (i_pal == i_ref).mean() > 0.999
+    # the self column (distance 0) must always be exact
+    np.testing.assert_array_equal(i_pal[:, :, 0], i_ref[:, :, 0])
+
+
+def test_knn_pallas_packed_duplicate_tie_break(rng):
+    from sparenet_tpu.ops.pallas.knn_pallas import knn_self_pallas
+
+    y = np.asarray(rng.rand(1, 384, 3), np.float32)
+    y[0, 300] = y[0, 7]
+    y[0, 41] = y[0, 7]
+    i_pal = np.asarray(
+        knn_self_pallas(jnp.asarray(y), 3, packed=True, interpret=True))
+    assert list(i_pal[0, 7][:2]) == [7, 41]
+    assert list(i_pal[0, 300][:2]) == [7, 41]
+
+
+def _xla_gather_max(t, idx, need_sum):
+    gj = np.take_along_axis(
+        np.asarray(t, np.float32)[:, :, None, :],
+        np.asarray(idx)[..., None], axis=1)
+    m = gj.max(axis=2)
+    return (m, gj.sum(axis=(1, 2))) if need_sum else m
+
+
+def test_gather_rows_max_matches_xla(rng):
+    from sparenet_tpu.ops.pallas.gather_pallas import gather_rows_max
+
+    t = jnp.asarray(rng.rand(2, 300, 70) - 0.5, jnp.float32)
+    idx = jnp.asarray(rng.randint(0, 300, size=(2, 300, 8)), jnp.int32)
+    m_ref = _xla_gather_max(t, idx, False)
+    m = np.asarray(gather_rows_max(t, idx, interpret=True))
+    np.testing.assert_array_equal(m, m_ref)
+
+
+def test_gather_rows_max_with_sum(rng):
+    from sparenet_tpu.ops.pallas.gather_pallas import gather_rows_max
+
+    # ragged M (pad rows must not pollute the sum) + k != 8
+    t = jnp.asarray(rng.rand(2, 1000, 130) - 0.5, jnp.float32)
+    idx = jnp.asarray(rng.randint(0, 1000, size=(2, 1000, 4)), jnp.int32)
+    m_ref, s_ref = _xla_gather_max(t, idx, True)
+    m, s = gather_rows_max(t, idx, need_sum=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(m), m_ref)
+    # f32 sum of 4000 rows: accumulation order differs from numpy
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_gather_rows_max_bf16(rng):
+    from sparenet_tpu.ops.pallas.gather_pallas import gather_rows_max
+
+    t = jnp.asarray(rng.rand(2, 256, 64) - 0.5, jnp.float32).astype(
+        jnp.bfloat16)
+    idx = jnp.asarray(rng.randint(0, 256, size=(2, 256, 8)), jnp.int32)
+    m_ref, s_ref = _xla_gather_max(t, idx, True)
+    m, s = gather_rows_max(t, idx, need_sum=True, interpret=True)
+    assert m.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(m, np.float32), m_ref)
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=2e-6)
