@@ -88,11 +88,19 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
+    # same mode convention as bench.py: BENCH_DTYPE=bf16 (default) is
+    # FULL serving mode (fast-math + bf16 matmuls); fp32 is parity mode
+    dtype_flag = os.environ.get("BENCH_DTYPE", "bf16")
+    if dtype_flag == "bf16":
+        os.environ.setdefault("SPARENET_FAST_MATH", "1")
     import jax
-    jax.config.update("jax_default_matmul_precision", "bfloat16")
+    if dtype_flag == "bf16":
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
+    mode = "serving" if dtype_flag == "bf16" else "parity"
     for m in args.models.split(","):
-        print(json.dumps(bench_one(m.strip(), args.batch, args.iters)),
-              flush=True)
+        rec = bench_one(m.strip(), args.batch, args.iters)
+        rec["mode"] = mode
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

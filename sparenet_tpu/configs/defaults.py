@@ -68,6 +68,14 @@ def default_config() -> AttrDict:
         use_adain="share",
         use_selayer=False,
         use_consist_loss=False,
+        # serving-mode NN-mean -> mean-MST-edge-length calibration for
+        # the mml estimator (SPARENET_FAST_MATH eval only; parity mode
+        # runs the exact Prim's kernel). The ratio depends on the
+        # model's coarse-cloud distribution, so it is per-family/per-
+        # checkpoint: 0.0 (default) keeps each model class's own value;
+        # set > 0 to override (fit with scripts/calibrate_mml.py
+        # --weights; docs/SERVING_ENVELOPE.md records the flagship fit).
+        mml_calibration=0.0,
     )
 
     # TPU execution policy (replaces reference APEX block).

@@ -26,6 +26,9 @@ def define_G(cfg, train: bool = True):
     """Build the generator module for cfg.NETWORK.model_type
     (utils/model_init.py:94-134)."""
     mt = cfg.NETWORK.model_type
+    # 0.0 = keep the family's own serving-mode mml calibration
+    mml_kw = ({"mml_calibration": float(cfg.NETWORK.mml_calibration)}
+              if cfg.NETWORK.mml_calibration > 0 else {})
     if mt == name.MODEL_SPARENET:
         return SpareNetGenerator(
             num_points=cfg.DATASET.n_outpoints,
@@ -36,6 +39,7 @@ def define_G(cfg, train: bool = True):
             encode=cfg.NETWORK.encode,
             hide_size=4096,
             train=train,
+            **mml_kw,
         )
     if mt == name.MODEL_ATLASNET:
         return AtlasNet(
@@ -50,6 +54,7 @@ def define_G(cfg, train: bool = True):
             bottleneck_size=1024,
             n_primitives=cfg.NETWORK.n_primitives,
             train=train,
+            **mml_kw,
         )
     if mt == name.MODEL_GRNET:
         return GRNet(

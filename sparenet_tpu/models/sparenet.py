@@ -175,8 +175,12 @@ class SpareNetRefine(nn.Module):
     train: bool = True
     # serving-mode NN-mean -> mean-MST-edge-length ratio; the ratio is
     # coarse-cloud-distribution dependent, so it is a PER-MODEL knob
-    # (MSN carries its own; see ops/expansion_penalty.py)
-    mml_calibration: float = 3.18
+    # (MSN carries its own; see ops/expansion_penalty.py). 1.33 is the
+    # TRAINED-weights fit for SpareNet coarse clouds — ratio 1.326
+    # +- 0.009 over val batches, halving the serving-vs-parity drift of
+    # the random-init fit 3.18 (docs/SERVING_ENVELOPE.md; recalibrate
+    # per checkpoint with scripts/calibrate_mml.py --weights).
+    mml_calibration: float = 1.33
 
     @nn.compact
     def __call__(self, coarse, partial):
@@ -245,7 +249,7 @@ class SpareNetGenerator(nn.Module):
     use_adain: str = "share"
     encode: str = "Pointfeat"
     train: bool = True
-    mml_calibration: float = 3.18  # serving-mode knob, see SpareNetRefine
+    mml_calibration: float = 1.33  # serving-mode knob, see SpareNetRefine
 
     def setup(self):
         self.encoder = SpareNetEncode(

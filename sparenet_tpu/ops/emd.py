@@ -163,8 +163,10 @@ def _compact_resolve(n, u, ids_u, valid, target_c, inc_c, state, last):
     return a, ai, pr
 
 
-def _emd_batched(xyz1, xyz2, eps, iters):
+def _emd_batched(xyz1, xyz2, eps, iters, return_rounds=False):
     """All-batch auction with adaptive bidder compaction.
+    ``return_rounds`` additionally returns the executed auction round
+    count (early-exit diagnostics; scripts/r3/emd_final_protocol.py).
 
     Every round, only the (compacted) unassigned bidders are processed —
     mathematically identical to the dense all-bidders formulation
@@ -241,6 +243,7 @@ def _emd_batched(xyz1, xyz2, eps, iters):
         jnp.full((b, n), -1, jnp.int32),
         jnp.zeros((b, n), xyz1.dtype),
     )
+    rounds = jnp.int32(0)
     if iters > 1:
         # early exit, provably identical to running all iters rounds: a
         # round with zero unassigned bidders is a no-op (every bid is
@@ -257,12 +260,15 @@ def _emd_batched(xyz1, xyz2, eps, iters):
             s, _ = round_fn(s, False)
             return i + 1, s
 
-        _, state = jax.lax.while_loop(_cond, _body, (jnp.int32(0), state))
+        rounds, state = jax.lax.while_loop(
+            _cond, _body, (jnp.int32(0), state))
     state, _ = round_fn(state, True)
     assignment = state[0]
     matched = jnp.take_along_axis(xyz2, jnp.maximum(assignment, 0)[..., None], 1)
     diff = xyz1 - matched
     dist = jnp.sum(diff * diff, axis=-1)
+    if return_rounds:
+        return dist, assignment, rounds + 1   # + the final forced round
     return dist, assignment
 
 

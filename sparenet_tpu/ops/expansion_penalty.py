@@ -214,10 +214,15 @@ def mean_mst_length_estimate(xyz: jnp.ndarray, primitive_size: int,
     instead of an S-step sequential Prim's loop (0.2 ms vs 6.8 ms at
     B=32, S=512 on v5e; scripts/profile_serving2.py section 3).
 
-    Calibration 3.18 measured on SpareNet coarse outputs (ratio
-    mml/nn_mean: mean 3.180, std 0.107); the ~3% mml error perturbs the
-    MDS temperature ~7%, moving the sampled cloud by CD ~6e-6 — an
-    order below the batch-greedy MDS drift it feeds (2.7e-5).
+    The calibration constant is COARSE-CLOUD-DISTRIBUTION dependent and
+    therefore a per-model (and ideally per-checkpoint) knob carried by
+    the model classes, not here. Measured ratios (mml/nn_mean):
+    random-init SpareNet 3.18 +- 0.11, TRAINED SpareNet 1.326 +- 0.009
+    (synthetic-trained flagship; docs/SERVING_ENVELOPE.md), random-init
+    MSN 1.91 +- 0.03. Fit yours with scripts/calibrate_mml.py
+    [--weights ckpt]. mml enters the MDS temperature quadratically
+    (t = 5*mml^2), so a 2.4x miscalibration (3.18 on trained clouds)
+    doubles the end-to-end serving drift.
     """
     b, n, _ = xyz.shape
     s = primitive_size

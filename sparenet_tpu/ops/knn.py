@@ -21,6 +21,10 @@ from .common import pairwise_sqdist_graph, pick_chunk
 
 __all__ = ["knn_idx", "get_graph_feature"]
 
+import os as _os
+
+_PACKED = _os.environ.get("SPARENET_KNN_PACKED", "1") == "1"
+
 
 def _smallest_k(d: jnp.ndarray, k: int) -> jnp.ndarray:
     """Indices of the k smallest entries per row of d [N, M], ascending.
@@ -68,8 +72,10 @@ def knn_idx(x: jnp.ndarray, k: int, impl: str = "auto") -> jnp.ndarray:
     if impl == "pallas":
         from .pallas.knn_pallas import knn_self_pallas
         # serving mode: packed-key selection (~11-mantissa-bit distance
-        # ranking, lowest-index ties) halves the per-k selection passes
-        return knn_self_pallas(x, k, packed=_common.FAST_MATH)
+        # ranking, lowest-index ties) halves the per-k selection passes.
+        # SPARENET_KNN_PACKED=0 keeps exact selection under fast math
+        # (serving-envelope ablations, scripts/r3/serving_envelope.py).
+        return knn_self_pallas(x, k, packed=_common.FAST_MATH and _PACKED)
     return jax.vmap(lambda p: _knn_one(p, p, k))(x)
 
 

@@ -9,7 +9,11 @@ the overall FPD.
 Classifier weights: --weights points at either (a) an orbax/npz dump of
 a natively trained PointNetCls (sparenet_tpu.frechet.train_classifier)
 or (b) a torch cls_model_39.pth state_dict, auto-converted. The
-reference repo ships neither (its checkpoint is a missing large blob).
+reference repo ships neither (its checkpoint is a missing large blob);
+this repo pins a CANONICAL classifier at
+sparenet_tpu/data/fpd_cls_canonical.npz (scripts/fpd_canonical.py
+recipe; sha256 in docs/FPD_ARTIFACT.md), the default when present, so
+FPD numbers are comparable across machines and rounds.
 """
 
 from __future__ import annotations
@@ -51,8 +55,16 @@ def main():
                         default="sparenet_tpu/data/meta/fpd_test.list")
     parser.add_argument("--data_dir", default="/path/to/test/dataset/pcds")
     parser.add_argument("--fake_dir", default="/path/to/methods/pcds")
-    parser.add_argument("--weights", required=True,
-                        help="PointNetCls weights (.npz native or .pth torch)")
+    _canonical = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "sparenet_tpu", "data", "fpd_cls_canonical.npz")
+    parser.add_argument("--weights",
+                        required=not os.path.exists(_canonical),
+                        default=_canonical if os.path.exists(_canonical)
+                        else None,
+                        help="PointNetCls weights (.npz native or .pth "
+                             "torch); defaults to the pinned canonical "
+                             "classifier when present")
     parser.add_argument("--num_points", type=int, default=16384)
     parser.add_argument("--batch_size", type=int, default=30)
     opt = parser.parse_args()
