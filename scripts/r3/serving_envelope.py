@@ -106,6 +106,13 @@ def main():
     knn_mod._PACKED = False                   # exact kNN selection
     ablations.append(("serving - exactKNN ", run(True)))
     knn_mod._PACKED = True
+    # batch-greedy round-size sweep: the G=8192 default was tuned on
+    # random-init clouds; the metric movement on TRAINED clouds is
+    # MDS-dominated, so re-tune the quality/speed point here
+    for g in (4096, 2048, 1024):
+        mds_mod._MDS_BATCH_G = g
+        ablations.append((f"serving @ MDS G={g:5d}", run(True)))
+    mds_mod._MDS_BATCH_G = 8192
 
     rows = [("parity  ", refine_p), ("serving ", refine_s)] + ablations
     for name, refine in rows:

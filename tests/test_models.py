@@ -278,3 +278,20 @@ def test_sparenet_enc_commute_full_model_parity(rng, monkeypatch):
         assert float(chamfer_distance(a, b)) < 1e-9
     np.testing.assert_allclose(np.asarray(fast[3]), np.asarray(ref[3]),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_define_g_mml_calibration_plumbing():
+    # NETWORK.mml_calibration = 0 keeps each family's own class default;
+    # > 0 overrides it (serving-mode knob, docs/SERVING_ENVELOPE.md)
+    from sparenet_tpu.configs.defaults import default_config
+    from sparenet_tpu.models import define_G
+
+    cfg = default_config()
+    cfg.NETWORK.model_type = "SpareNet"
+    assert define_G(cfg, train=False).mml_calibration == 1.33
+    cfg.NETWORK.mml_calibration = 2.5
+    assert define_G(cfg, train=False).mml_calibration == 2.5
+    cfg.NETWORK.model_type = "MSN"
+    assert define_G(cfg, train=False).mml_calibration == 2.5
+    cfg.NETWORK.mml_calibration = 0.0
+    assert define_G(cfg, train=False).mml_calibration == 3.18
