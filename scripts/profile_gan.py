@@ -107,9 +107,12 @@ def main():
         import orbax.checkpoint as ocp
         payload = ocp.PyTreeCheckpointer().restore(
             os.path.abspath(args.weights))
+        # device_put: orbax restores HOST numpy arrays; passing them to a
+        # jitted step as args re-transfers ~850 MB through the tunnel on
+        # EVERY call (~7.5 s/step measured) — pin them on device once
         runner.state = runner.state.replace(
-            params=payload["state"]["params"],
-            batch_stats=payload["state"]["batch_stats"])
+            params=jax.device_put(payload["state"]["params"]),
+            batch_stats=jax.device_put(payload["state"]["batch_stats"]))
         print(f"loaded trained generator: {args.weights}", flush=True)
     items = next(iter(runner.train_loader))
     _, labels, _, data = items
@@ -132,6 +135,28 @@ def main():
             runner._gan_impl(radius, gs, ds, p, g, y, l)[2:]))
         t = timed("full GAN step", step, gstate, dstate, partial, gt,
                   labels_dev, lr)
+    if "full_donated" in variants:
+        # production step donates the train states (runners/
+        # sparenet_gan.py:105); donation halves peak HBM vs the
+        # non-donating profile jit — measures whether slow steps are
+        # XLA rematerializing under memory pressure
+        stepd = jax.jit(
+            lambda gs, ds, p, g, y, l: runner._gan_impl(
+                radius, gs, ds, p, g, y, l),
+            donate_argnums=(0, 1))
+        gs2, ds2 = jax.tree_util.tree_map(jnp.copy, (gstate, dstate))
+        t0 = time.perf_counter()
+        out = stepd(gs2, ds2, partial, gt, labels_dev, lr)
+        jax.block_until_ready(out)
+        print(f"{'full GAN step (donated, compile)':34s} "
+              f"{time.perf_counter() - t0:8.3f} s", flush=True)
+        for _ in range(3):
+            gs2, ds2 = out[0], out[1]
+            t0 = time.perf_counter()
+            out = stepd(gs2, ds2, partial, gt, labels_dev, lr)
+            jax.block_until_ready(out)
+            print(f"{'full GAN step (donated)':34s} "
+                  f"{time.perf_counter() - t0:8.3f} s", flush=True)
         if args.trace:
             with jax.profiler.trace(args.trace):
                 jax.block_until_ready(step(gstate, dstate, partial, gt,

@@ -74,8 +74,11 @@ def main():
         payload = ocp.PyTreeCheckpointer().restore(
             os.path.abspath(args.weights))
         state = payload["state"]
-        variables = {"params": state["params"],
-                     "batch_stats": state["batch_stats"]}
+        # device_put: orbax restores HOST numpy arrays; as jit args
+        # they would re-transfer through the tunnel every call
+        variables = jax.device_put(
+            {"params": state["params"],
+             "batch_stats": state["batch_stats"]})
         print(f"loaded trained weights: {args.weights}", flush=True)
     else:
         print("WARNING: random init (no checkpoint found)", flush=True)

@@ -24,11 +24,14 @@ class MSN(nn.Module):
     bottleneck_size: int = 1024
     n_primitives: int = 32
     train: bool = True
-    # serving-mode NN-mean -> mml ratio, calibrated on MSN's OWN coarse
-    # outputs (the ratio is distribution dependent; SpareNet's 3.18 does
-    # not transfer — see ops/expansion_penalty.py and
-    # docs/SERVING_ENVELOPE.md)
-    mml_calibration: float = 3.18
+    # serving-mode NN-mean -> mml ratio, calibrated on MSN's OWN
+    # TRAINED coarse outputs: 5.65 +- 0.26 (synthetic-trained MSN,
+    # scripts/calibrate_mml.py --weights; serving-vs-parity CD 1.59e-3
+    # vs 1.94e-3 at the old cross-family default 3.18). The ratio is
+    # strongly distribution dependent — random-init MSN measures 1.91,
+    # trained SpareNet 1.33 — see ops/expansion_penalty.py and
+    # docs/SERVING_ENVELOPE.md; recalibrate per checkpoint.
+    mml_calibration: float = 5.65
 
     @nn.compact
     def __call__(self, partial, grids=None):

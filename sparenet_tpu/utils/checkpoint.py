@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from typing import Any
 
+import jax
 import orbax.checkpoint as ocp
 
 from .metrics import Metrics
@@ -68,7 +69,13 @@ def checkpoint_load(cfg, state_template: Any, logger=None):
             "Recover complete. Current epoch = #%d; best metrics = %s."
             % (payload["epoch_index"], best)
         )
-    return payload["epoch_index"], best, payload["state"]
+    # orbax restores HOST numpy leaves; left as-is they are re-uploaded
+    # to the device on EVERY jitted step call that takes the state as an
+    # argument (~7.5 s/call for the flagship through the axon tunnel —
+    # measured in scripts/profile_gan.py before the fix). Pin on device
+    # once here; train steps would self-heal after step 1 (outputs are
+    # device arrays) but eval loops re-pay forever.
+    return payload["epoch_index"], best, jax.device_put(payload["state"])
 
 
 def _load_reference_pth(cfg, state_template: Any, logger=None):

@@ -294,4 +294,4 @@ def test_define_g_mml_calibration_plumbing():
     cfg.NETWORK.model_type = "MSN"
     assert define_G(cfg, train=False).mml_calibration == 2.5
     cfg.NETWORK.mml_calibration = 0.0
-    assert define_G(cfg, train=False).mml_calibration == 3.18
+    assert define_G(cfg, train=False).mml_calibration == 5.65
