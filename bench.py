@@ -24,6 +24,17 @@ import time
 import numpy as np
 
 
+def _mode(dtype_flag: str) -> str:
+    """serving | parity | mixed, from the EXECUTED fast-math state."""
+    from sparenet_tpu.ops import common as opc
+    bf16 = dtype_flag == "bf16"
+    if opc.FAST_MATH and bf16:
+        return "serving"
+    if not opc.FAST_MATH and not bf16:
+        return "parity"
+    return "mixed"
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
@@ -92,9 +103,13 @@ def main():
         "value": round(clouds_per_sec, 2),
         "unit": "clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / 250.0, 4),
-        # bf16 = full serving mode (fast math, batched MDS, NN-mean
-        # mml); fp32 = parity mode (reference-faithful numerics).
-        "mode": "serving" if dtype_flag == "bf16" else "parity",
+        # bf16 matmuls + FAST_MATH = full serving mode (fast math,
+        # batched MDS, NN-mean mml); fp32 + no fast math = parity mode
+        # (reference-faithful numerics). Derived from the EXECUTED
+        # state (opc.FAST_MATH), not just BENCH_DTYPE — a stray
+        # SPARENET_FAST_MATH in the environment would otherwise
+        # mislabel the record.
+        "mode": _mode(dtype_flag),
     }
     print(json.dumps(result))
 

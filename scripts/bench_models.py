@@ -96,7 +96,12 @@ def main():
     import jax
     if dtype_flag == "bf16":
         jax.config.update("jax_default_matmul_precision", "bfloat16")
-    mode = "serving" if dtype_flag == "bf16" else "parity"
+    # derive mode from the EXECUTED fast-math state (a stray
+    # SPARENET_FAST_MATH=0 in the env would otherwise mislabel rows)
+    from sparenet_tpu.ops import common as opc
+    bf16 = dtype_flag == "bf16"
+    mode = ("serving" if (opc.FAST_MATH and bf16) else
+            "parity" if (not opc.FAST_MATH and not bf16) else "mixed")
     for m in args.models.split(","):
         rec = bench_one(m.strip(), args.batch, args.iters)
         rec["mode"] = mode

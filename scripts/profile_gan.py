@@ -135,6 +135,11 @@ def main():
             runner._gan_impl(radius, gs, ds, p, g, y, l)[2:]))
         t = timed("full GAN step", step, gstate, dstate, partial, gt,
                   labels_dev, lr)
+        if args.trace:
+            with jax.profiler.trace(args.trace):
+                jax.block_until_ready(step(gstate, dstate, partial, gt,
+                                           labels_dev, lr))
+            print(f"trace written to {args.trace}")
     if "full_donated" in variants:
         # production step donates the train states (runners/
         # sparenet_gan.py:105); donation halves peak HBM vs the
@@ -157,11 +162,6 @@ def main():
             jax.block_until_ready(out)
             print(f"{'full GAN step (donated)':34s} "
                   f"{time.perf_counter() - t0:8.3f} s", flush=True)
-        if args.trace:
-            with jax.profiler.trace(args.trace):
-                jax.block_until_ready(step(gstate, dstate, partial, gt,
-                                           labels_dev, lr))
-            print(f"trace written to {args.trace}")
 
     # ---------------- chamfer-metric step ----------------
     if "chamfer" in variants:

@@ -32,7 +32,15 @@ def main():
     ap.add_argument("--weights", default=_DEFAULT_CKPT)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--allow-random-init", action="store_true",
+                    help="proceed without a checkpoint (protocol cost "
+                         "then reflects degenerate clouds — debug only)")
     args = ap.parse_args()
+    if not (args.weights and os.path.isdir(args.weights)) \
+            and not args.allow_random_init:
+        sys.exit(f"checkpoint not found: {args.weights}\n"
+                 "Train one with scripts/r3/train_synth_sparenet.yaml "
+                 "and pass --weights, or pass --allow-random-init.")
 
     import jax
     import jax.numpy as jnp

@@ -38,7 +38,17 @@ def main():
     ap.add_argument("--weights", default=_DEFAULT_CKPT)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--calibration", type=float, default=1.33)
+    ap.add_argument("--allow-random-init", action="store_true",
+                    help="proceed without a checkpoint (the envelope "
+                         "numbers are then meaningless — debug only)")
     args = ap.parse_args()
+    if not os.path.isdir(args.weights) and not args.allow_random_init:
+        sys.exit(f"checkpoint not found: {args.weights}\n"
+                 "This artifact is a TRAINED-weights contract — train "
+                 "one with scripts/r3/train_synth_sparenet.yaml "
+                 "(python train.py --model sparenet --config ... "
+                 "--workdir ...) and pass --weights, or pass "
+                 "--allow-random-init to debug.")
 
     import jax
     import jax.numpy as jnp
@@ -102,20 +112,25 @@ def main():
     import sparenet_tpu.ops.knn as knn_mod
     import sparenet_tpu.ops.mds as mds_mod
 
+    # save the env-configured baselines so each ablation reverts ONE
+    # knob relative to the user's configuration, not to hardcoded values
+    impl0, packed0, g0 = mds_mod._MDS_IMPL, knn_mod._PACKED, \
+        mds_mod._MDS_BATCH_G
+
     ablations = []
     mds_mod._MDS_IMPL = "pallas"              # exact greedy MDS kernel
     ablations.append(("serving - exactMDS ", run(True)))
-    mds_mod._MDS_IMPL = "auto"
+    mds_mod._MDS_IMPL = impl0
     knn_mod._PACKED = False                   # exact kNN selection
     ablations.append(("serving - exactKNN ", run(True)))
-    knn_mod._PACKED = True
+    knn_mod._PACKED = packed0
     # batch-greedy round-size sweep: the G=8192 default was tuned on
     # random-init clouds; the metric movement on TRAINED clouds is
     # MDS-dominated, so re-tune the quality/speed point here
     for g in (4096, 2048, 1024):
         mds_mod._MDS_BATCH_G = g
         ablations.append((f"serving @ MDS G={g:5d}", run(True)))
-    mds_mod._MDS_BATCH_G = 8192
+    mds_mod._MDS_BATCH_G = g0
 
     rows = [("parity  ", refine_p), ("serving ", refine_s)] + ablations
     for name, refine in rows:

@@ -88,6 +88,12 @@ def gather_rows_max(table: jnp.ndarray, idx: jnp.ndarray,
     also returns s [B, C] f32 = sum over (m, j) of table[b, idx[b,m,j]]
     (so mean(gj) = s / (M*K)). Exact — selects/sums the identical rows
     the XLA take_along_axis + max/mean pair would.
+
+    bf16 tables are upcast to f32 for the kernel and the max cast back
+    — value-identical (every bf16 is exactly representable in f32; max
+    commutes with the cast; the sum is f32 of the same values), and
+    required because Mosaic cannot sublane-slice packed 16-bit rows
+    (compile error at kernel build, probe_gather3 round 3).
     """
     b, n, c = table.shape
     m = idx.shape[1]
@@ -96,6 +102,9 @@ def gather_rows_max(table: jnp.ndarray, idx: jnp.ndarray,
     # flow through max, whose VJP this eval-only path never needs
     table = jax.lax.stop_gradient(table)
     idx = jax.lax.stop_gradient(idx)
+    out_dtype = table.dtype
+    if table.dtype == jnp.bfloat16:
+        table = table.astype(jnp.float32)
 
     c_pad = max(-(-c // 128) * 128, 128)
     q = min(q, max(-(-m // 8) * 8, 8))
@@ -137,7 +146,7 @@ def gather_rows_max(table: jnp.ndarray, idx: jnp.ndarray,
     )(t4, ip)
 
     out = jnp.transpose(res[0], (0, 2, 1, 3)).reshape(b, m_pad, c_pad)
-    out = out[:, :m, :c]
+    out = out[:, :m, :c].astype(out_dtype)
     if not need_sum:
         return out
     s = jnp.sum(res[1], axis=1).reshape(b, c_pad)[:, :c]    # [B, C]

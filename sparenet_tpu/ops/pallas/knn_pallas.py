@@ -15,6 +15,7 @@ conventional [B, N, k].
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -115,7 +116,12 @@ def _knn_onechunk_kernel(k: int, n_valid: int, packed: bool,
 
 def _knn_onechunk(xp, xt, k, n, n_pad, c_pad, interpret, packed=False):
     b = xp.shape[0]
-    q = 128 if n_pad >= 128 else n_pad
+    # q-tile (MXU M dimension): larger tiles amortize matmul fill and
+    # grid overhead; bounded by VMEM for the [q, n] distance tile.
+    # SPARENET_KNN_Q overrides for A/Bs (scripts/r3/probe_knn_q.py).
+    q = min(_Q_TILE, n_pad)
+    while n_pad % q:
+        q //= 2
     kernel = functools.partial(_knn_onechunk_kernel, k, n, packed)
     return pl.pallas_call(
         kernel,
@@ -138,6 +144,8 @@ def _knn_onechunk(xp, xt, k, n, n_pad, c_pad, interpret, packed=False):
 # ceilings for the single-chunk kernel: the [C, N] xt block must fit
 # VMEM alongside the q-tile and selection temporaries
 _ONECHUNK_MAX_ELEMS = 1024 * 8192
+
+_Q_TILE = int(os.environ.get("SPARENET_KNN_Q", "128"))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "packed"))

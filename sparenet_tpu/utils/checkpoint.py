@@ -99,8 +99,12 @@ def _load_reference_pth(cfg, state_template: Any, logger=None):
                       encode=cfg.NETWORK.encode,
                       use_selayer=cfg.NETWORK.use_selayer)
     variables = _CONVERTERS[mt](sd, **kwargs)
+    # same pin-on-device rule as the orbax branch: the converter emits
+    # host arrays, and eval loops pass the state to jitted steps as an
+    # argument every batch
     state = state_template.replace(
-        params=variables["params"], batch_stats=variables["batch_stats"])
+        params=jax.device_put(variables["params"]),
+        batch_stats=jax.device_put(variables["batch_stats"]))
     epoch = payload.get("epoch_index", 0) if isinstance(payload, dict) else 0
     best = None
     if isinstance(payload, dict) and "best_metrics" in payload:
