@@ -29,6 +29,10 @@ def main():
     batch = int(os.environ.get("B", "32"))
     metrics = (os.environ["METRIC"].split(",")
                if "METRIC" in os.environ else ["chamfer", "emd"])
+    # WEIGHTS=<orbax dir>: measure the TRAINED regime — the EMD metric
+    # is auction-round bound and regime-dependent (GAN_PROFILE.md), so
+    # the random-init number is its worst case, not its typical cost
+    weights = os.environ.get("WEIGHTS", "")
 
     import jax
     import jax.numpy as jnp
@@ -40,6 +44,10 @@ def main():
 
     cfg = default_config()
     cfg.NETWORK.model_type = "SpareNet"
+    # flagship production config (configs/sparenet.yaml): SE layers ON.
+    # Round-3 STATUS numbers before 2026-08-19 were measured with the
+    # bare default (no SE) — a slightly lighter generator.
+    cfg.NETWORK.use_selayer = True
     cfg.TRAIN.batch_size = batch
 
     rs = np.random.RandomState(0)
@@ -48,6 +56,14 @@ def main():
 
     model = define_G(cfg, train=True)
     variables = model.init({"params": jax.random.PRNGKey(0)}, partial)
+    if weights:
+        import orbax.checkpoint as ocp
+        payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(weights))
+        variables = jax.device_put(
+            {"params": payload["state"]["params"],
+             "batch_stats": payload["state"]["batch_stats"]})
+        print(json.dumps({"note": f"trained regime: {weights}"}),
+              flush=True)
     tx = make_optimizer(cfg)
     opt_state = tx.init(variables["params"])
 
@@ -86,6 +102,7 @@ def main():
             "unit": "clouds/sec/chip",
             "step_ms": round(dt * 1000, 1),
             "batch": batch,
+            "regime": "trained" if weights else "init",
         }), flush=True)
 
 
