@@ -39,9 +39,9 @@ __all__ = ["emd_auction", "emd_loss"]
 _TILE = 1024
 
 
-def _round_bids(xyz1, xyz2, price, unassigned):
+def _round_bids(xyz1, xyz2, price):
     """Top-2 auction values for every bidder. Returns (target [n] int32,
-    increment [n]) — valid where ``unassigned``."""
+    increment [n]) — valid where the bidder is unassigned (callers mask)."""
     n = xyz1.shape[0]
     tile = min(_TILE, n)
     pad = (-n) % tile
@@ -189,7 +189,7 @@ def _emd_batched(xyz1, xyz2, eps, iters, return_rounds=False):
     else:
         def bids(x1c, price):
             return jax.vmap(
-                lambda a, c, p: _round_bids(a, c, p, None)
+                lambda a, c, p: _round_bids(a, c, p)
             )(x1c, xyz2, price)
 
     caps = [c for c in _capacities(n)

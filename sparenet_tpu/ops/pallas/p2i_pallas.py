@@ -15,7 +15,7 @@ but scatter-bound. This kernel flips the data flow the TPU way:
 Tiles are [32, 128] — lane-exact for the (8, 128) vector registers (a
 [32, 32] tile wastes 3/4 of every lane vector). Two prep strategies:
 
-  * ``grouped=True`` (the renderer's layout:每 image's points contiguous,
+  * ``grouped=True`` (the renderer's layout: each image's points contiguous,
     identical point count per image): a counting sort — per-image
     per-bucket ranks from 16 masked cumsums — replaces the 4P-entry
     stable argsort, which costs ~0.5 s at GAN scale;

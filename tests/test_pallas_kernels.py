@@ -69,7 +69,7 @@ def test_emd_bids_pallas_matches_xla(rng):
     price = jnp.asarray(rng.rand(b, n) * 0.1, jnp.float32)
 
     t_ref, i_ref = jax.vmap(
-        lambda a, c, p: _round_bids(a, c, p, None))(x1, x2, price)
+        lambda a, c, p: _round_bids(a, c, p))(x1, x2, price)
     t_pal, i_pal = emd_bids_pallas(x1, x2, price, bt=64, oc=128,
                                    interpret=True)
     np.testing.assert_array_equal(np.asarray(t_pal), np.asarray(t_ref))
