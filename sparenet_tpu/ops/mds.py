@@ -53,6 +53,13 @@ if _MDS_CHUNK < 1:
 _MDS_BATCH_G = int(os.environ.get("SPARENET_MDS_BATCH_G", "8192"))
 if _MDS_BATCH_G < 1:
     raise ValueError(f"SPARENET_MDS_BATCH_G={_MDS_BATCH_G} must be >= 1")
+# Hybrid tail length: the last SPARENET_MDS_TAIL picks run as exact
+# greedy continuation on compacted lanes (see _mds_hybrid). The round-4
+# lab holds exact-level quality down to npoint/16; default npoint/8 at
+# the production shape for margin.
+_MDS_TAIL = int(os.environ.get("SPARENET_MDS_TAIL", "2048"))
+if _MDS_TAIL < 1:
+    raise ValueError(f"SPARENET_MDS_TAIL={_MDS_TAIL} must be >= 1")
 
 
 def _mds_one(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray) -> jnp.ndarray:
@@ -188,9 +195,12 @@ def _mds_chunked(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
     return jax.lax.stop_gradient(out)
 
 
-@functools.partial(jax.jit, static_argnames=("npoint", "g", "return_xyz"))
+@functools.partial(jax.jit,
+                   static_argnames=("npoint", "g", "return_xyz",
+                                    "return_state"))
 def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
-                 g: int = 512, return_xyz: bool = False) -> jnp.ndarray:
+                 g: int = 512, return_xyz: bool = False,
+                 return_state: bool = False) -> jnp.ndarray:
     """Batch-greedy MDS: select the G lowest-density points per round and
     apply ONE fused density update, in ceil((npoint-1)/G) rounds.
 
@@ -218,6 +228,12 @@ def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
     gather_points over the base cloud is then mostly index math (the
     serving refine path; only the final round's rows are gathered
     extra).
+
+    With ``return_state`` also returns the final density vector
+    [B, N] f32 with EVERY pick's bump applied and picked lanes pinned
+    to 1e9 (the hybrid schedule's tail, _mds_hybrid, continues exact
+    greedy from this state; the plain path skips the last round's
+    update/pins since nothing consumes them).
     """
     xyz = jax.lax.stop_gradient(xyz)
     mean_mst_length = jax.lax.stop_gradient(mean_mst_length)
@@ -251,8 +267,9 @@ def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
         take = min(g, npoint - done)
         negv, c = jax.lax.top_k(-temp, take)                  # stable
         last = done + take >= npoint
+        update = (not last) or return_state
         out = jax.lax.dynamic_update_slice(out, c, (0, pos))
-        if not last:
+        if update:
             s = jnp.take_along_axis(x, c[..., None], axis=1)  # [B,take,3]
         if return_xyz:
             # gather the RETURNED rows from the original xyz (not the
@@ -261,7 +278,7 @@ def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
             out_xyz = jax.lax.dynamic_update_slice(
                 out_xyz, jnp.take_along_axis(xyz, c[..., None], axis=1),
                 (0, pos, 0))
-        if not last:
+        if update:
             arg = (jnp.einsum("bnd,bgd->bng", x, 2.0 * kde[..., None] * s)
                    + bias[..., None]
                    - (jnp.sum(s * s, -1) * kde)[:, None, :])
@@ -269,8 +286,106 @@ def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
             temp = temp.at[bids, c].set(_BIG)
         done += take
         pos += take
+    outs = (jax.lax.stop_gradient(out),)
     if return_xyz:
-        return jax.lax.stop_gradient(out), jax.lax.stop_gradient(out_xyz)
+        outs = outs + (jax.lax.stop_gradient(out_xyz),)
+    if return_state:
+        outs = outs + (jax.lax.stop_gradient(temp),)
+    return outs if len(outs) > 1 else outs[0]
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "g", "tail",
+                                              "tail_impl"))
+def _mds_hybrid(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
+                g: int = 8192, tail: int = 2048,
+                tail_impl: str = "auto") -> jnp.ndarray:
+    """Hybrid batched-prefix / exact-greedy-tail MDS (the round-4
+    quality-neutral serving path; VERDICT r3 task #1).
+
+    Round-3 attribution showed batch-greedy MDS carries ~90% of
+    serving-mode's metric movement, and the round-4 lab
+    (scripts/r4/mds_lab.py) isolates WHERE: the damage is concentrated
+    in the LAST batched round — the final ~15% of picks determine the
+    excluded set (npoint/N = 0.85), and picking them by stale density
+    leaves coverage holes (fill p99 1.7-1.9 vs 1.18 spacings) and
+    near-duplicate clumps. A batched prefix followed by an EXACT greedy
+    tail holds exact-level quality down to tails of npoint/16 (lab
+    F-proxy 0.754 vs exact 0.753; clump/fill at or better than exact),
+    because the prefix hands the tail a fully-correct density state.
+
+    Speed: the prefix is the existing batch-greedy (~G-way parallel);
+    the tail runs the exact Pallas kernel (mds_pallas_continue) on
+    COMPACTED live lanes — width N - (npoint - tail) ~ 5-6k instead of
+    19k, so the tail's sequential steps are ~3-4x cheaper than the same
+    steps of a full exact run.
+
+    Semantics: prefix picks follow _mds_batched (reference argmin
+    tie-order within top_k); tail picks are exact greedy continuation
+    (MDS_cuda.cu:104-211) from the prefix state. Non-differentiable.
+    """
+    xyz = jax.lax.stop_gradient(xyz)
+    mean_mst_length = jax.lax.stop_gradient(mean_mst_length)
+    b, n, _ = xyz.shape
+    tail = int(min(tail, npoint - 1))
+    npick = npoint - tail
+    if tail <= 0:
+        return _mds_batched(xyz, npoint, mean_mst_length, g=g)
+
+    out_pref, temp = _mds_batched(xyz, npick, mean_mst_length, g=g,
+                                  return_state=True)
+
+    if tail_impl == "auto":
+        tail_impl = ("xla" if jax.default_backend() in ("cpu", "gpu")
+                     else "pallas")
+
+    if tail_impl == "xla":
+        # full-width continuation (CPU/tests): argmin-first greedy —
+        # the prefix state already includes every prefix bump
+        x = xyz.astype(jnp.float32)
+        t = (5.0 * mean_mst_length * mean_mst_length).astype(jnp.float32)
+        w = jnp.where(jnp.arange(n) >= _HEAVY_FROM, 2.0, 1.0
+                      ).astype(jnp.float32)
+
+        def one(xb, tb, temp_b):
+            idxs0 = jnp.zeros((tail,), jnp.int32)
+
+            def body(j, carry):
+                temp, idxs = carry
+                nxt = jnp.argmin(temp).astype(jnp.int32)
+                temp = temp.at[nxt].set(_BIG)
+                d2 = jnp.sum((xb - xb[nxt]) ** 2, axis=-1)
+                temp = temp + w * jnp.exp(-d2 / tb)
+                idxs = idxs.at[j].set(nxt)
+                return temp, idxs
+
+            _, idxs = jax.lax.fori_loop(0, tail, body, (temp_b, idxs0))
+            return idxs
+
+        out_tail = jax.vmap(one)(x, t, temp)
+    else:
+        # compact picked lanes out (stable sort on a picked flag: live
+        # lanes keep their relative order, so argmin tie-breaking in the
+        # tail matches the original index order)
+        from .pallas.mds_pallas import mds_pallas_continue
+
+        nlive = n - npick
+        lane = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                                (b, n))
+        picked = temp >= _BIG / 2
+        key = jnp.where(picked, jnp.int32(1 << 24), 0) + lane
+        xt = jnp.moveaxis(xyz.astype(jnp.float32), -1, 0)
+        _, temp_c, orig, xs, ys, zs = jax.lax.sort(
+            (key, temp, lane, xt[0], xt[1], xt[2]),
+            dimension=-1, num_keys=1)
+        temp_c = temp_c[:, :nlive]
+        orig = orig[:, :nlive]
+        xyz_c = jnp.stack([xs[:, :nlive], ys[:, :nlive], zs[:, :nlive]],
+                          axis=-1)
+        lanes = mds_pallas_continue(xyz_c, temp_c, orig, mean_mst_length,
+                                    tail)
+        out_tail = jnp.take_along_axis(orig, lanes, axis=1)
+
+    out = jnp.concatenate([out_pref, out_tail], axis=1)
     return jax.lax.stop_gradient(out)
 
 
@@ -304,6 +419,9 @@ def minimum_density_sample(xyz: jnp.ndarray, npoint: int,
         return _mds_chunked(xyz, npoint, mean_mst_length, chunk=_MDS_CHUNK)
     if impl == "batched":
         return _mds_batched(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G)
+    if impl == "hybrid":
+        return _mds_hybrid(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
+                           tail=_MDS_TAIL)
     if impl == "pallas":
         from .pallas.mds_pallas import mds_pallas
         return mds_pallas(xyz, npoint, mean_mst_length)

@@ -233,6 +233,96 @@ def _run_stage(lo, hi, xyz_t, bias, t, prev, temp, interpret):
     return temp_out, last
 
 
+@functools.partial(jax.jit, static_argnames=("steps", "interpret"))
+def mds_pallas_continue(xyz: jnp.ndarray, temp0: jnp.ndarray,
+                        orig: jnp.ndarray, mean_mst_length: jnp.ndarray,
+                        steps: int, interpret: bool = False) -> jnp.ndarray:
+    """Continue greedy MDS for `steps` more picks from an existing
+    density state (the hybrid batched-prefix / exact-tail schedule,
+    ops/mds.py:_mds_hybrid).
+
+    xyz  [B, N, 3]  LIVE-lane coords (callers compact picked lanes out;
+                    N need not be 128-aligned — padded here);
+    temp0 [B, N] f32 accumulated densities with EVERY prefix bump
+                    applied and no pins (picked lanes are gone);
+    orig [B, N] i32 original cloud index of each live lane (drives the
+                    2x heavy-point weight, MDS_cuda.cu:130);
+    returns LANE indices [B, steps] into xyz (callers map through orig
+    for original ids; orig is consumed here only for the weight bias).
+
+    The stage kernel applies the previous selection's bump before each
+    argmin; for the first continued step there is no pending bump, so
+    `prev` is seeded with a far-away sentinel point whose exp2 argument
+    underflows to exactly 0 (the -c term keeps the argument finite and
+    hugely negative — see the overflow note in _stage_kernel).
+    """
+    from ..common import FAST_MATH
+
+    xyz = jax.lax.stop_gradient(xyz)
+    mean_mst_length = jax.lax.stop_gradient(mean_mst_length)
+    b, n, _ = xyz.shape
+    assert steps <= 2 ** 14, "pin encoding holds step < 2^14"
+    n_pad = -(-n // 128) * 128
+    xyz_t = jnp.moveaxis(xyz, -1, 0)
+    xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - n)))
+    if FAST_MATH:
+        xyz_t = xyz_t.astype(jnp.bfloat16)
+    t = (5.0 * mean_mst_length * mean_mst_length)[:, None]
+
+    lane = jnp.arange(n_pad, dtype=jnp.int32)[None, :]
+    kde_rows = jnp.float32(1.4426950408889634) / t
+    px2 = jnp.sum(jnp.square(xyz_t.astype(jnp.float32)), axis=0)
+    heavy = jnp.pad(orig >= _HEAVY_FROM, ((0, 0), (0, n_pad - n)))
+    bias = jnp.where(heavy, 1.0, 0.0) - px2 * kde_rows
+    temp = jnp.pad(temp0.astype(jnp.float32), ((0, 0), (0, n_pad - n)),
+                   constant_values=jnp.float32(_PADBASE))
+    temp = jnp.where(lane >= n, jnp.float32(_PADBASE), temp)
+    prev = jnp.concatenate(
+        [jnp.full((b, 3), 1e4, jnp.float32), jnp.zeros((b, 1), jnp.float32)],
+        axis=1)
+
+    batch_ids = jnp.arange(b)[:, None]
+    idx_out = jnp.zeros((b, steps), jnp.int32)
+    orig_lane = jnp.broadcast_to(lane, (b, n_pad))
+
+    if steps > 2 * _STAGE_LEN and n > 2 * _STAGE_LEN:
+        bounds = [0] + list(range(_STAGE_LEN, steps, _STAGE_LEN)) + [steps]
+    else:
+        bounds = [0, steps]
+
+    lo = bounds[0]
+    cur_lane = orig_lane
+    for hi in bounds[1:]:
+        temp, last = _run_stage(lo, hi, xyz_t, bias, t, prev, temp,
+                                interpret)
+        prev = last
+        step = ((temp - _BIGBASE) *
+                jnp.float32(1.0 / _STEP_SCALE)).astype(jnp.int32)
+        newly = (temp >= _BIGBASE) & (temp < _PADBASE) & \
+                (step >= lo) & (step < hi)
+        idx_out = idx_out.at[
+            batch_ids, jnp.where(newly, step, steps)
+        ].set(cur_lane, mode="drop")
+        if hi >= steps:
+            break
+        ns = temp.shape[1]
+        ns_next = -(-(n - hi) // 128) * 128
+        lane_cur = jnp.broadcast_to(
+            jnp.arange(ns, dtype=jnp.int32)[None], (b, ns))
+        key = jnp.where(temp >= _BIGBASE, jnp.int32(1 << 20), 0) + lane_cur
+        _, temp, cur_lane, bias, xs, ys, zs = jax.lax.sort(
+            (key, temp, cur_lane, bias, xyz_t[0], xyz_t[1], xyz_t[2]),
+            dimension=-1, num_keys=1)
+        temp = temp[:, :ns_next]
+        cur_lane = cur_lane[:, :ns_next]
+        bias = bias[:, :ns_next]
+        xyz_t = jnp.stack([xs[:, :ns_next], ys[:, :ns_next],
+                           zs[:, :ns_next]])
+        lo = hi
+
+    return jax.lax.stop_gradient(idx_out)
+
+
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
 def mds_pallas(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
                interpret: bool = False) -> jnp.ndarray:
