@@ -129,6 +129,11 @@ def default_config() -> AttrDict:
     cfg.TEST = _d(
         mode="default",
         infer_freq=25,
+        # serving-mode (SPARENET_FAST_MATH) mml self-calibration at
+        # checkpoint load: fit the NN-mean -> Prim's-mml ratio on the
+        # model's own coarse output (utils/calibration.py). A manual
+        # NETWORK.mml_calibration > 0 overrides it.
+        mml_auto_calibrate=True,
         metric_name="EMD",  # 'EMD' or 'ChamferDistance'
         batch_size=1,       # reference evals at 1; >1 keeps the TPU fed
         # auction-EMD protocol for the metric: validation default

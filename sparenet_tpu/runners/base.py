@@ -129,6 +129,53 @@ class BaseRunner:
         self.init_epoch, self.best_metrics, self.state = ckpt.checkpoint_load(
             self.config, self.state, self.logger
         )
+        self._maybe_autocalibrate_mml()
+
+    def _maybe_autocalibrate_mml(self):
+        """Serving-mode mml self-calibration (utils/calibration.py).
+
+        When FAST_MATH serving is active and trained weights were
+        loaded, fit the NN-mean -> Prim's-mml ratio on the model's OWN
+        coarse output (first val batch) and clone the eval model with
+        it — the fitted ratio replaces the family default BEFORE the
+        first _jit_val trace, so there is no recompile. A manual
+        NETWORK.mml_calibration (> 0) or TEST.mml_auto_calibrate=False
+        opts out. No-op for families without the knob (AtlasNet/GRNet)
+        and in parity mode (exact Prim's runs inline there)."""
+        from ..ops import common as opc
+        from ..utils.calibration import fit_mml_ratio
+
+        cfg = self.config
+        model = getattr(self, "model_eval", None)
+        if (model is None or not hasattr(model, "mml_calibration")
+                or not opc.FAST_MATH
+                or not cfg.CONST.weights
+                or cfg.NETWORK.mml_calibration > 0
+                or not cfg.TEST.mml_auto_calibrate):
+            return
+        items = next(iter(self.val_loader))
+        partial = jnp.asarray(np.asarray(items[3]["partial_cloud"]),
+                              jnp.float32)
+        rng_names = getattr(self, "model_rng_names", ())
+        rngs = dict(zip(rng_names,
+                        jax.random.split(jax.random.PRNGKey(0),
+                                         max(1, len(rng_names)))))
+        prim_size = model.num_points // model.n_primitives
+
+        @jax.jit
+        def fit(params, batch_stats, partial):
+            coarse = model.apply(
+                {"params": params, "batch_stats": batch_stats}, partial,
+                rngs=rngs or None)[0]
+            return fit_mml_ratio(coarse, prim_size)
+
+        ratio = float(fit(self.state.params, self.state.batch_stats,
+                          partial))
+        self.model_eval = model.clone(mml_calibration=ratio)
+        self.logger.info(
+            "Auto-calibrated serving mml ratio on the first val batch: "
+            "%.4f (family default was %.2f)."
+            % (ratio, model.mml_calibration))
 
     def models_save(self):
         self.best_metrics = ckpt.checkpoint_save(

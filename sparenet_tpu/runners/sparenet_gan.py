@@ -124,6 +124,7 @@ class sparenetGANRunner(sparenetRunner):
             cfg, template, self.logger)
         self.state = restored["gen"]
         self.disc_state = restored["disc"]
+        self._maybe_autocalibrate_mml()
 
     def models_save(self):
         payload = {"gen": jax.device_get(self.state),
