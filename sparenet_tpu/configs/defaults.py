@@ -84,6 +84,14 @@ def default_config() -> AttrDict:
         mesh_batch=0,           # devices on the batch mesh axis; 0 = all
         prefetch=2,             # host->device prefetch depth
         donate=True,            # donate train-state buffers to the jitted step
+        # rematerialize the activation-heavy stages (EdgeConv encoder,
+        # 32-primitive fold decoder, refine residual net) in the
+        # backward pass — trades ~1 extra forward of those stages for
+        # the activation memory that otherwise OOMs B=32 flagship
+        # training on a 16 GB chip. The sequential MDS/MST kernels stay
+        # OUTSIDE the remat boundary (replaying a 16k-step fori_loop in
+        # the backward would dominate the step).
+        remat=False,
         # multi-host (DCN) data parallelism: set multihost=True on every
         # process and either leave the fields empty (TPU pod slices
         # auto-discover via the metadata server) or set all three for

@@ -39,6 +39,8 @@ def define_G(cfg, train: bool = True):
             encode=cfg.NETWORK.encode,
             hide_size=4096,
             train=train,
+            # remat only matters under grad; keep eval modules identical
+            remat=bool(train and cfg.TPU.get("remat", False)),
             **mml_kw,
         )
     if mt == name.MODEL_ATLASNET:

@@ -173,6 +173,10 @@ class SpareNetRefine(nn.Module):
     use_selayer: bool = False
     edgeres: bool = False
     train: bool = True
+    # remat only the residual net: it holds the [B, 16384, 1024] global-
+    # feature activations, while the MDS/MST fori_loops that precede it
+    # must never be replayed in the backward (see cfg.TPU.remat).
+    remat: bool = False
     # serving-mode NN-mean -> mean-MST-edge-length ratio; the ratio is
     # coarse-cloud-distribution dependent, so it is a PER-MODEL knob
     # (MSN carries its own; see ops/expansion_penalty.py). 1.33 is the
@@ -226,10 +230,15 @@ class SpareNetRefine(nn.Module):
             idx = minimum_density_sample(base[..., :3], n, mean_mst_dis)
             base = gather_points(base, idx)               # [B, N, 4]
 
-        if self.edgeres:
-            delta = EdgeRes(use_selayer=self.use_selayer, train=self.train)(base)
-        else:
-            delta = PointNetRes(use_selayer=self.use_selayer, train=self.train)(base)
+        res_cls = EdgeRes if self.edgeres else PointNetRes
+        # pin the auto-name: nn.remat would otherwise prefix it
+        # ("CheckpointPointNetRes_0"), forking the param tree from the
+        # un-rematted checkpoint layout
+        res_name = res_cls.__name__ + "_0"
+        if self.remat:
+            res_cls = nn.remat(res_cls)
+        delta = res_cls(use_selayer=self.use_selayer, train=self.train,
+                        name=res_name)(base)
         return base[..., :3] + delta, loss_mst
 
 
@@ -250,16 +259,25 @@ class SpareNetGenerator(nn.Module):
     encode: str = "Pointfeat"
     train: bool = True
     mml_calibration: float = 1.33  # serving-mode knob, see SpareNetRefine
+    # cfg.TPU.remat: rematerialize the EdgeConv encoder, the fold
+    # decoder, and the refine residual nets in the backward pass. The
+    # edge tensors ([B, N, k, C]), the 32x [B, S, 1026] fold
+    # activations, and the [B, 16384, 1024] residual features are the
+    # three HBM hogs of the training step; recomputing them costs one
+    # extra forward of those stages and unlocks batch 32 on one chip.
+    remat: bool = False
 
     def setup(self):
-        self.encoder = SpareNetEncode(
+        enc_cls = nn.remat(SpareNetEncode) if self.remat else SpareNetEncode
+        dec_cls = nn.remat(SpareNetDecode) if self.remat else SpareNetDecode
+        self.encoder = enc_cls(
             bottleneck_size=self.bottleneck_size,
             hide_size=self.hide_size,
             use_selayer=self.use_selayer,
             encode=self.encode,
             train=self.train,
         )
-        self.decoder = SpareNetDecode(
+        self.decoder = dec_cls(
             num_points=self.num_points,
             n_primitives=self.n_primitives,
             bottleneck_size=self.bottleneck_size,
@@ -273,6 +291,7 @@ class SpareNetGenerator(nn.Module):
             use_selayer=self.use_selayer,
             train=self.train,
             mml_calibration=self.mml_calibration,
+            remat=self.remat,
         )
 
     def __call__(self, partial):

@@ -100,6 +100,41 @@ def test_sparenet_grad_flows(rng):
     assert total > 0
 
 
+def test_sparenet_remat_grads_exact(rng):
+    """cfg.TPU.remat must be a pure memory/time trade: same params tree,
+    bit-identical loss and gradients vs the un-rematted model."""
+    partial = jnp.asarray(rng.rand(2, 64, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(2, N_OUT, 3), jnp.float32)
+
+    def build(remat):
+        return SpareNetGenerator(
+            num_points=N_OUT, n_primitives=PRIMS, bottleneck_size=64,
+            hide_size=64, use_adain="share", encode="Residualnet",
+            use_selayer=True, remat=remat,
+        )
+
+    variables = build(False).init({"params": jax.random.PRNGKey(0)}, partial)
+
+    def loss_fn(params, remat):
+        (c, m, r, lm), _ = build(remat).apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            partial, mutable=["batch_stats"],
+        )
+        return jnp.mean((r - gt) ** 2) + 0.1 * lm
+
+    # remat-on init produces the identical parameter structure
+    v_r = build(True).init({"params": jax.random.PRNGKey(0)}, partial)
+    assert (jax.tree_util.tree_structure(v_r["params"])
+            == jax.tree_util.tree_structure(variables["params"]))
+
+    l0, g0 = jax.value_and_grad(loss_fn)(variables["params"], False)
+    l1, g1 = jax.value_and_grad(loss_fn)(variables["params"], True)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_grnet_shapes(rng):
     partial = jnp.asarray(rng.rand(B, N_IN, 3) * 1.4 - 0.7, jnp.float32)
     model = GRNet(n_sampling_points=64, gridding_scale=16)
