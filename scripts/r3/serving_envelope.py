@@ -120,6 +120,8 @@ def main():
     ablations = []
     mds_mod._MDS_IMPL = "pallas"              # exact greedy MDS kernel
     ablations.append(("serving - exactMDS ", run(True)))
+    mds_mod._MDS_IMPL = "hybrid"              # r4 batched-prefix/exact-tail
+    ablations.append(("serving - hybridMDS", run(True)))
     mds_mod._MDS_IMPL = impl0
     knn_mod._PACKED = False                   # exact kNN selection
     ablations.append(("serving - exactKNN ", run(True)))

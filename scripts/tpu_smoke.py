@@ -19,6 +19,7 @@ Production shapes exercised (configs/sparenet.yaml parity):
   emd bids   B=8   n=16384           (one auction bid round)
   expansion  B=32  n=16384  prim=512 (MST + leaf prune)
   mds        B=2   n=19456->16384    (refine resample; 19384 padded)
+  mds hybrid B=2   n=19456->16384    (batched prefix + compacted exact tail)
   p2i max    B=4   16384 pts -> 256x256 (renderer splat)
   sparenet   B=2 full forward 3000 -> 16384
 """
@@ -93,6 +94,13 @@ def main():
     ok &= _run("mds (2,19456->16384)",
                lambda: jax.jit(
                    lambda a, m: minimum_density_sample(a, 16384, m))(xm, mml))
+
+    # hybrid serving path: batched prefix + compacted exact tail
+    # (mds_pallas_continue — a separate Mosaic entry point)
+    ok &= _run("mds hybrid (2,19456->16384,tail=2048)",
+               lambda: jax.jit(
+                   lambda a, m: minimum_density_sample(
+                       a, 16384, m, impl="hybrid"))(xm, mml))
 
     from sparenet_tpu.ops.p2i import p2i
     pts = jnp.asarray(rs.rand(4 * 16384, 2) * 200 + 28, jnp.float32)
