@@ -30,6 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
 
 import numpy as np
 
+# SMOKE=1: tiny-shape CPU plumbing check (random init allowed, chamfer,
+# 64^2 images) — validates the script end-to-end without the device
+_SMOKE = bool(int(os.environ.get("SMOKE", "0")))
+
 
 def build_runner(batch, metric="emd", cgan=True):
     from sparenet_tpu.configs import default_config, cfg_update
@@ -39,17 +43,17 @@ def build_runner(batch, metric="emd", cgan=True):
     cfg = default_config()
     cfg.DATASET.train_dataset = "Synthetic"
     cfg.DATASET.test_dataset = "Synthetic"
-    cfg.DATASET.n_outpoints = 16384
-    cfg.CONST.n_input_points = 3000
+    cfg.DATASET.n_outpoints = 1024 if _SMOKE else 16384
+    cfg.CONST.n_input_points = 64 if _SMOKE else 3000
     cfg.CONST.num_workers = 2
     cfg.NETWORK.model_type = "SpareNet"
-    cfg.NETWORK.n_primitives = 32
-    cfg.NETWORK.metric = metric
+    cfg.NETWORK.n_primitives = 4 if _SMOKE else 32
+    cfg.NETWORK.metric = "chamfer" if _SMOKE else metric
     cfg.NETWORK.use_consist_loss = True
     cfg.NETWORK.use_selayer = True
     cfg.NETWORK.encode = "Residualnet"
     cfg.NETWORK.use_adain = "share"
-    cfg.RENDER.img_size = 256
+    cfg.RENDER.img_size = 64 if _SMOKE else 256
     cfg.RENDER.radius_list = [5.0, 7.0, 10.0]
     cfg.GAN.use_cgan = cgan
     cfg.GAN.use_fm = True
@@ -81,19 +85,25 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     import jax
+    if os.environ.get("FORCE_CPU"):  # sitecustomize overrides JAX_PLATFORMS
+        jax.config.update("jax_platforms", "cpu")
 
     runner = build_runner(args.batch)
 
     # warm-start the generator from the trained flagship; D + both
     # optimizers start fresh (the reference's --weights path also
     # carries net_G only: utils/misc.py:54-77)
-    import orbax.checkpoint as ocp
-    payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.weights))
-    state = payload["state"]
-    runner.state = runner.state.replace(
-        params=jax.device_put(state["params"]),
-        batch_stats=jax.device_put(state["batch_stats"]))
-    print(f"generator warm-started from {args.weights}", flush=True)
+    if args.weights == "none" and _SMOKE:
+        print("SMOKE: random-init generator", flush=True)
+    else:
+        import orbax.checkpoint as ocp
+        payload = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(args.weights))
+        state = payload["state"]
+        runner.state = runner.state.replace(
+            params=jax.device_put(state["params"]),
+            batch_stats=jax.device_put(state["batch_stats"]))
+        print(f"generator warm-started from {args.weights}", flush=True)
 
     losses_path = os.path.join(args.out, "losses.jsonl")
     hist = []

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.edge_gather import gather_rows_scaled_max, gather_rows_sum
 from ..ops.knn import get_graph_feature, knn_idx
 
 
@@ -86,13 +87,16 @@ class EdgeConv1x1(nn.Module):
 
     @nn.compact
     def __call__(self, x, idx, extrema: bool = False, commute=None,
-                 need_mean: bool = False):
+                 need_mean: bool = False, parts: bool = False):
         c = x.shape[-1]
         kernel = self.param("kernel", kaiming_init,
                             (2 * c, self.features), jnp.float32)
         g1 = x @ kernel[:c]                               # x W1 [B,N,out]
         g2 = x @ kernel[c:]                               # x W2
         diff = g2 - g1
+        if parts:
+            # train-commute stage assembles the reductions itself
+            return g1, diff
         if commute is not None:
             return self._commute(g1, diff, idx, commute, need_mean)
         if extrema:
@@ -209,6 +213,42 @@ def serving_dtype(train: bool):
     stays f32 inside the MXU, norms accumulate statistics in f32."""
     from ..ops import common as _opc
     return jnp.bfloat16 if (_opc.FAST_MATH and not train) else None
+
+
+class _ExternalStatsBN(nn.Module):
+    """BatchNorm that consumes externally computed batch statistics.
+
+    Variable layout (params scale/bias, batch_stats mean/var, running-
+    stat EMA with momentum 0.9) is identical to ``nn.BatchNorm`` /
+    ``batch_norm_2d``, so checkpoints are interchangeable with the
+    dense EdgeConv stage — construct with name="BatchNorm_<i>" to claim
+    the same tree slot. Returns the (slope, intercept) of the train-
+    mode normalization as a per-channel affine: y = a * x + b0. Used by
+    the train-commute EdgeConv stage, whose [B, N, k, C] edge-tensor
+    statistics factorize in closed form (models/layers.py stage)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, mean, var):
+        c = mean.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum)
+                             * jax.lax.stop_gradient(mean))
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum)
+                            * jax.lax.stop_gradient(var))
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b0 = bias - mean * a
+        return a, b0
 
 
 def batch_norm_1d(train: bool, name: str | None = None,
@@ -386,6 +426,46 @@ class EdgeConvResFeat(nn.Module):
         def stage(feat, out_ch, idx):
             nbr = knn_idx(feat, k=self.k)                  # [B,N,k]
             conv = EdgeConv1x1(out_ch, dtype=edt)
+            if train and _opc.TRAIN_COMMUTE:
+                # TRAIN-mode commuted stage: the edge tensor's BN batch
+                # statistics factorize over e = g1[idx] + diff —
+                #   sum(e)  = sum_m deg[m]*g1[m]    + k*sum(diff)
+                #   sum(e2) = sum_m deg[m]*g1[m]^2  + 2*sum(diff*s1)
+                #             + k*sum(diff^2),  s1 = per-point sum_j g1[idx_j]
+                # so train BN reduces to a per-channel affine (a, b0)
+                # computed from [B, N, C]-sized reductions, and the
+                # BN -> SE(>0) -> leaky-relu -> max-over-k chain
+                # commutes exactly as in the eval path: pre-scaling the
+                # gather rows by `a` makes max-over-k pick the right
+                # element for either sign of a. The [B, N, k, C] edge
+                # tensor lives only inside the two gather reductions
+                # (ops/edge_gather.py), whose VJPs scatter [B, N, C]
+                # gradients — not a 5-pass dense-chain replay.
+                g1, diff = conv(feat, nbr, parts=True)
+                b, n, _ = feat.shape
+                kk = self.k
+                deg = jnp.zeros((b, n), jnp.float32).at[
+                    jnp.arange(b)[:, None], nbr.reshape(b, n * kk)
+                ].add(1.0)
+                hp = jax.lax.Precision.HIGHEST
+                s1 = gather_rows_sum(g1, nbr)              # [B,N,C]
+                sum_g_b = jnp.einsum("bn,bnc->bc", deg, g1, precision=hp)
+                sum_g2 = jnp.einsum("bn,bnc->c", deg, g1 * g1, precision=hp)
+                sum_d_b = jnp.sum(diff, axis=1)            # [B,C]
+                cnt = b * n * kk
+                mean = (jnp.sum(sum_g_b, 0) + kk * jnp.sum(sum_d_b, 0)) / cnt
+                mean2 = (sum_g2 + 2.0 * jnp.sum(diff * s1, axis=(0, 1))
+                         + kk * jnp.sum(diff * diff, axis=(0, 1))) / cnt
+                var = mean2 - mean * mean
+                a, b0 = _ExternalStatsBN(name=f"BatchNorm_{idx - 1}")(
+                    mean, var)
+                m = gather_rows_scaled_max(g1 * a, nbr)    # [B,N,C]
+                z = m + a * diff + b0
+                if self.use_selayer:
+                    # SE squeeze of BN(e): mean over (N, k) per (B, C)
+                    mean_e_b = (sum_g_b + kk * sum_d_b) / (n * kk)
+                    z = SELayer(out_ch)(z, mean=a * mean_e_b + b0)
+                return nn.leaky_relu(z, negative_slope=0.2)
             commute = (not train) and _opc.ENC_COMMUTE
             # The commute path only uses BN to probe its eval affine;
             # probe in f32 — the BN params/stats are stored f32, and a
@@ -451,7 +531,10 @@ class EdgeConvResFeat(nn.Module):
         # serving mode runs it in bf16 (HBM-bound chain), pooled
         # features return to f32 for the bottleneck head
         xc = Conv1d(self.output_size // 2, use_bias=False, dtype=edt)(xc)
-        xc = batch_norm_1d(train, dtype=edt)(xc)
+        # explicit name: the train-commute stages claim BatchNorm_0..3
+        # explicitly, so the tail must pin the slot auto-naming would
+        # otherwise hand out inconsistently between the two paths
+        xc = batch_norm_1d(train, name="BatchNorm_4", dtype=edt)(xc)
         xc = nn.leaky_relu(xc, negative_slope=0.2)
 
         xmax = jnp.max(xc, axis=1).astype(jnp.float32)

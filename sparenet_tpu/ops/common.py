@@ -34,6 +34,20 @@ FAST_MATH = os.environ.get("SPARENET_FAST_MATH", "0") == "1"
 # smaller but positive in f32 (parity) — so ON by default in eval.
 ENC_COMMUTE = os.environ.get("SPARENET_ENC_COMMUTE", "1") == "1"
 
+# SPARENET_TRAIN_COMMUTE=1 enables the TRAIN-mode commuted EdgeConv
+# stage (models/layers.py): BN batch statistics are computed in closed
+# form from degree-weighted per-point sums (the edge tensor's channel
+# stats factorize over gj = g1[idx] + diff), the BN affine is applied
+# BEFORE the neighbor max via row pre-scaling, and the [B, N, k, C]
+# edge tensor exists only transiently inside two gather reductions
+# (ops/edge_gather.py) instead of being stored and re-walked by the
+# 5-pass dense chain's backward. Exact in value up to f32 sum
+# association; gradient routing at exact max ties is first-winner
+# (dense jnp.max splits ties — measure-zero on real activations).
+# Opt-in (default 0) until the hardware A/B lands
+# (scripts/r4/profile_train_decomp.py measures both).
+TRAIN_COMMUTE = os.environ.get("SPARENET_TRAIN_COMMUTE", "0") == "1"
+
 # SPARENET_EVAL_FAST=1 enables the eval-mode EdgeConv fast path
 # (neighborhood-extrema formulation; see models/layers.py). Exact in
 # value up to max-selection ties, but measured SLOWER on TPU v5e than
