@@ -63,7 +63,7 @@ def main():
     ap.add_argument("--early", default="",
                     help="earlier checkpoint of the same run, to show "
                          "the FPD tracks model quality")
-    ap.add_argument("--n", type=int, default=150)
+    ap.add_argument("--n", type=int, default=400)
     ap.add_argument("--classifier", default=_CANONICAL)
     ap.add_argument("--out", default="/tmp/fpd_round.json")
     args = ap.parse_args()
@@ -95,11 +95,13 @@ def main():
             m = labels == c
             if m.sum() < 10:
                 continue
-            # per-category stats are low-sample (~19/cat at n=150);
-            # batch_size=6 keeps 3 batches per category like the
-            # reference's 150-per-category protocol scaled down
+            # 50/category at the default n=400 (the reference protocol
+            # is 150/category, test_fpd.py:91-115; completions are
+            # cheap here so per-category noise is bounded by sample
+            # count, not generation cost)
             per_cat[f"synthetic_{c}"] = round(calculate_fpd(
-                fakes[m], gts[m], variables, batch_size=6), 3)
+                fakes[m], gts[m], variables,
+                batch_size=min(25, int(m.sum()) // 2)), 3)
         result[tag] = {"weights": w, "overall": round(overall, 3),
                        "per_category": per_cat}
         print(json.dumps({tag: result[tag]["overall"]}), flush=True)

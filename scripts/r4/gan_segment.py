@@ -54,7 +54,8 @@ def build_runner(batch, metric="emd", cgan=True):
     cfg.NETWORK.encode = "Residualnet"
     cfg.NETWORK.use_adain = "share"
     cfg.RENDER.img_size = 64 if _SMOKE else 256
-    cfg.RENDER.radius_list = [5.0, 7.0, 10.0]
+    # smoke: one radius = one compiled step variant
+    cfg.RENDER.radius_list = [10.0] if _SMOKE else [5.0, 7.0, 10.0]
     cfg.GAN.use_cgan = cgan
     cfg.GAN.use_fm = True
     cfg.GAN.use_im = True
