@@ -122,6 +122,10 @@ def main():
     ablations.append(("serving - exactMDS ", run(True)))
     mds_mod._MDS_IMPL = "hybrid"              # r4 batched-prefix/exact-tail
     ablations.append(("serving - hybridMDS", run(True)))
+    tail0 = mds_mod._MDS_TAIL
+    mds_mod._MDS_TAIL = 1024                  # short-tail speed point
+    ablations.append(("serving - hyb t1024", run(True)))
+    mds_mod._MDS_TAIL = tail0
     mds_mod._MDS_IMPL = impl0
     knn_mod._PACKED = False                   # exact kNN selection
     ablations.append(("serving - exactKNN ", run(True)))

@@ -29,8 +29,10 @@ python scripts/r3/serving_envelope.py --weights "$CKPT" --batch 16 \
 echo "=== [4/6] bench serving (batched MDS, current default) ==="
 python bench.py 2>&1 | tee $OUT/bench_batched.json
 
-echo "=== [5/6] bench serving (hybrid MDS) ==="
+echo "=== [5/6] bench serving (hybrid MDS, tail 2048 / 1024) ==="
 SPARENET_MDS_IMPL=hybrid python bench.py 2>&1 | tee $OUT/bench_hybrid.json
+SPARENET_MDS_IMPL=hybrid SPARENET_MDS_TAIL=1024 python bench.py \
+    2>&1 | tee $OUT/bench_hybrid_t1024.json
 
 echo "=== [6/6] bench parity (fp32) ==="
 BENCH_DTYPE=fp32 python bench.py 2>&1 | tee $OUT/bench_parity.json
