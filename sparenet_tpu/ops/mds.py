@@ -60,6 +60,10 @@ if _MDS_BATCH_G < 1:
 _MDS_TAIL = int(os.environ.get("SPARENET_MDS_TAIL", "2048"))
 if _MDS_TAIL < 1:
     raise ValueError(f"SPARENET_MDS_TAIL={_MDS_TAIL} must be >= 1")
+# What serving-mode "auto" resolves to on TPU ("batched" | "hybrid");
+# the stage-1 hardware pass (quality envelope + bench) decides the
+# shipped default. SPARENET_MDS_IMPL overrides either way.
+_SERVING_IMPL = os.environ.get("SPARENET_MDS_SERVING", "batched").lower()
 
 
 def _mds_one(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray) -> jnp.ndarray:
@@ -295,10 +299,11 @@ def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "g", "tail",
-                                              "tail_impl"))
+                                              "tail_impl", "return_xyz"))
 def _mds_hybrid(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
                 g: int = 8192, tail: int = 2048,
-                tail_impl: str = "auto") -> jnp.ndarray:
+                tail_impl: str = "auto",
+                return_xyz: bool = False) -> jnp.ndarray:
     """Hybrid batched-prefix / exact-greedy-tail MDS (the round-4
     quality-neutral serving path; VERDICT r3 task #1).
 
@@ -329,10 +334,16 @@ def _mds_hybrid(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
     tail = int(min(tail, npoint - 1))
     npick = npoint - tail
     if tail <= 0:
-        return _mds_batched(xyz, npoint, mean_mst_length, g=g)
+        return _mds_batched(xyz, npoint, mean_mst_length, g=g,
+                            return_xyz=return_xyz)
 
-    out_pref, temp = _mds_batched(xyz, npick, mean_mst_length, g=g,
-                                  return_state=True)
+    if return_xyz:
+        out_pref, xyz_pref, temp = _mds_batched(
+            xyz, npick, mean_mst_length, g=g, return_xyz=True,
+            return_state=True)
+    else:
+        out_pref, temp = _mds_batched(xyz, npick, mean_mst_length, g=g,
+                                      return_state=True)
 
     if tail_impl == "auto":
         tail_impl = ("xla" if jax.default_backend() in ("cpu", "gpu")
@@ -386,6 +397,12 @@ def _mds_hybrid(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
         out_tail = jnp.take_along_axis(orig, lanes, axis=1)
 
     out = jnp.concatenate([out_pref, out_tail], axis=1)
+    if return_xyz:
+        # tail rows are a narrow [B, tail] gather; the prefix rows ride
+        # the gathers the batched rounds performed anyway
+        xyz_tail = jnp.take_along_axis(xyz, out_tail[..., None], axis=1)
+        sel = jnp.concatenate([xyz_pref, xyz_tail], axis=1)
+        return jax.lax.stop_gradient(out), jax.lax.stop_gradient(sel)
     return jax.lax.stop_gradient(out)
 
 
@@ -407,12 +424,13 @@ def minimum_density_sample(xyz: jnp.ndarray, npoint: int,
         if jax.default_backend() in ("cpu", "gpu"):
             impl = "xla"
         elif FAST_MATH:
-            # serving mode: batch-greedy is ~2.7x the exact greedy kernel
-            # (30 vs 80 ms at the production shape); its selection-set
-            # drift (gathered-cloud CD 4-9e-5, scripts/
-            # profile_mds_batched_acc.py) sits inside the serving-mode
-            # bf16 precision envelope. Parity mode keeps exact greedy.
-            impl = "batched"
+            # serving mode: _SERVING_IMPL ("batched" | "hybrid").
+            # batch-greedy is ~2.7x the exact greedy kernel (30 vs
+            # 80 ms at the production shape) with selection-set drift
+            # 4-9e-5 gathered-cloud CD; the r4 hybrid adds an exact
+            # greedy tail on compacted lanes for greedy-level quality
+            # (scripts/r4/mds_lab.py). Parity mode keeps exact greedy.
+            impl = _SERVING_IMPL
         else:
             impl = "pallas"
     if impl == "chunked":
@@ -445,10 +463,13 @@ def minimum_density_sample_xyz(xyz: jnp.ndarray, npoint: int,
     if impl == "auto":
         from .common import FAST_MATH
         if jax.default_backend() not in ("cpu", "gpu") and FAST_MATH:
-            impl = "batched"
+            impl = _SERVING_IMPL
     if impl == "batched":
         return _mds_batched(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
                             return_xyz=True)
+    if impl == "hybrid":
+        return _mds_hybrid(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
+                           tail=_MDS_TAIL, return_xyz=True)
     idx = minimum_density_sample(xyz, npoint, mean_mst_length, impl=impl)
     sel = jnp.take_along_axis(jax.lax.stop_gradient(xyz),
                               idx[..., None], axis=1)

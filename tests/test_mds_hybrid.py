@@ -117,3 +117,18 @@ def test_hybrid_heavy_weighting_rides_compaction(rng):
         assert ov > 0.85, ov
     finally:
         mdsmod._HEAVY_FROM = old_m
+
+
+def test_hybrid_return_xyz_matches_idx(rng):
+    """Fused selected-coordinate output (serving refine path): sel must
+    equal xyz[idx] exactly, and idx must equal the non-fused call."""
+    xyz = jnp.asarray(rng.rand(2, 300, 3), jnp.float32)
+    mml = jnp.asarray([0.3, 0.45], jnp.float32)
+    idx0 = np.asarray(_mds_hybrid(xyz, 220, mml, g=64, tail=60,
+                                  tail_impl="xla"))
+    idx, sel = _mds_hybrid(xyz, 220, mml, g=64, tail=60,
+                           tail_impl="xla", return_xyz=True)
+    np.testing.assert_array_equal(np.asarray(idx), idx0)
+    ref = np.take_along_axis(np.asarray(xyz),
+                             np.asarray(idx)[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(sel), ref)
