@@ -111,6 +111,12 @@ def main():
         # mislabel the record.
         "mode": _mode(dtype_flag),
     }
+    if result["mode"] == "serving":
+        # record which MDS implementation the serving refine actually
+        # resolved to (batched | hybrid | explicit override)
+        from sparenet_tpu.ops import mds as _mds
+        result["mds"] = (_mds._MDS_IMPL if _mds._MDS_IMPL != "auto"
+                         else _mds._SERVING_IMPL)
     print(json.dumps(result))
 
 
