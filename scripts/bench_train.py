@@ -48,6 +48,11 @@ def main():
     # Round-3 STATUS numbers before 2026-08-19 were measured with the
     # bare default (no SE) — a slightly lighter generator.
     cfg.NETWORK.use_selayer = True
+    # ... and 32 primitives (sparenet.yaml; the tree default is the
+    # reference base_config's 16) — numbers before 2026-08-20 benched
+    # the lighter 16-primitive decoder. 32 also matches the round-4
+    # converged checkpoint consumed via WEIGHTS.
+    cfg.NETWORK.n_primitives = 32
     cfg.TRAIN.batch_size = batch
 
     rs = np.random.RandomState(0)

@@ -134,12 +134,21 @@ def main():
             return loss + probe
 
         def make_fn(r):
+            # reps ride a lax.scan: the step body is traced ONCE, so the
+            # HLO stays small (a python loop of R full train steps blows
+            # the axon remote-compile request limit at R=4), while the
+            # scan still executes the reps sequentially on device.
             def prog(inputs):
-                acc = jnp.float32(0)
-                for partial, gt in inputs:
-                    acc = acc + one(variables["params"],
-                                    variables.get("batch_stats", {}),
-                                    opt0, partial, gt)
+                stacked = (jnp.stack([p for p, _ in inputs]),
+                           jnp.stack([g for _, g in inputs]))
+
+                def body(acc, pg):
+                    p, g = pg
+                    return acc + one(variables["params"],
+                                     variables.get("batch_stats", {}),
+                                     opt0, p, g), None
+
+                acc, _ = jax.lax.scan(body, jnp.float32(0), stacked)
                 return acc
             return jax.jit(prog)
         return make_fn
