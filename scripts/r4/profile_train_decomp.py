@@ -134,23 +134,27 @@ def main():
             return loss + probe
 
         def make_fn(r):
-            # reps ride a lax.scan: the step body is traced ONCE, so the
-            # HLO stays small (a python loop of R full train steps blows
-            # the axon remote-compile request limit at R=4), while the
-            # scan still executes the reps sequentially on device.
-            def prog(inputs):
+            # two HLO-size traps avoided: (1) params/opt are explicit
+            # jit ARGUMENTS — closed-over device arrays are embedded as
+            # constants (~660 MB of literals -> the axon remote-compile
+            # 413 limit); (2) reps ride a lax.scan so the step body is
+            # traced once, not unrolled R times. The scan still runs
+            # the reps sequentially on device.
+            def prog(params, bs, opt, inputs):
                 stacked = (jnp.stack([p for p, _ in inputs]),
                            jnp.stack([g for _, g in inputs]))
 
                 def body(acc, pg):
                     p, g = pg
-                    return acc + one(variables["params"],
-                                     variables.get("batch_stats", {}),
-                                     opt0, p, g), None
+                    return acc + one(params, bs, opt, p, g), None
 
                 acc, _ = jax.lax.scan(body, jnp.float32(0), stacked)
                 return acc
-            return jax.jit(prog)
+
+            jf = jax.jit(prog)
+            return lambda inputs: jf(variables["params"],
+                                     variables.get("batch_stats", {}),
+                                     opt0, inputs)
         return make_fn
 
     def slope(name, make_fn):

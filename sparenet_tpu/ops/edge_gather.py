@@ -45,10 +45,13 @@ def _sum_fwd(g, idx):
 def _sum_bwd(res, grad):
     shape, idx = res
     b = shape[0]
-    out = jnp.zeros(shape, grad.dtype).at[
-        jnp.arange(b)[:, None, None], idx, :
-    ].add(jnp.broadcast_to(grad[:, :, None, :],
-                           idx.shape + (shape[-1],)))
+    bb = jnp.arange(b)[:, None]
+    # one row scatter per neighbor slot: peak memory stays [B, M, C]
+    # (a single fused [B, M, k, C] update tensor OOMs the B=24
+    # production step next to the optimizer state)
+    out = jnp.zeros(shape, grad.dtype)
+    for j in range(idx.shape[-1]):
+        out = out.at[bb, idx[:, :, j], :].add(grad)
     return out, None
 
 
@@ -76,13 +79,13 @@ def _max_bwd(res, grad):
     shape, idx, win = res
     b = shape[0]
     k = idx.shape[-1]
-    # one-hot over the k slots, then the same row scatter as the sum VJP
-    onehot = (win[:, :, None, :] ==
-              jnp.arange(k, dtype=jnp.int8)[None, None, :, None])
-    upd = grad[:, :, None, :] * onehot.astype(grad.dtype)  # [B, M, k, C]
-    out = jnp.zeros(shape, grad.dtype).at[
-        jnp.arange(b)[:, None, None], idx, :
-    ].add(upd)
+    bb = jnp.arange(b)[:, None]
+    # per-slot masked row scatter (see _sum_bwd on why not one fused
+    # [B, M, k, C] one-hot update)
+    out = jnp.zeros(shape, grad.dtype)
+    for j in range(k):
+        upd = jnp.where(win == jnp.int8(j), grad, 0)       # [B, M, C]
+        out = out.at[bb, idx[:, :, j], :].add(upd)
     return out, None
 
 
