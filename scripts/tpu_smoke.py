@@ -102,6 +102,22 @@ def main():
                    lambda a, m: minimum_density_sample(
                        a, 16384, m, impl="hybrid"))(xm, mml))
 
+    # train-commute fused edge stats: fwd pass + table-accumulate
+    # scatter VJP (both separate Mosaic entry points)
+    from sparenet_tpu.ops.pallas.edge_train_pallas import edge_gather_stats
+    ge = jnp.asarray(rs.rand(24, 3000, 1024) - 0.5, jnp.float32)
+    ie = jnp.asarray(rs.randint(0, 3000, (24, 3000, 8)), jnp.int32)
+
+    def _egs_loss(g):
+        mx, mn, s1, s2 = edge_gather_stats(g, ie)
+        return jnp.sum(mx) + jnp.sum(mn) * 0.5 + jnp.sum(s1) * 0.1 \
+            + jnp.sum(s2) * 1e-3
+
+    ok &= _run("edge stats fwd (24,3000,k=8,C=1024)",
+               lambda: jax.jit(lambda g: edge_gather_stats(g, ie)[0])(ge))
+    ok &= _run("edge stats vjp (24,3000,k=8,C=1024)",
+               lambda: jax.jit(jax.grad(_egs_loss))(ge))
+
     from sparenet_tpu.ops.p2i import p2i
     pts = jnp.asarray(rs.rand(4 * 16384, 2) * 200 + 28, jnp.float32)
     feats = jnp.asarray(rs.rand(4 * 16384, 1), jnp.float32)

@@ -26,6 +26,8 @@ from flax import linen as nn
 
 from ..ops.edge_gather import gather_rows_scaled_max, gather_rows_sum
 from ..ops.knn import get_graph_feature, knn_idx
+from ..ops.pallas.edge_train_pallas import (edge_gather_stats,
+                                            edge_gather_stats_supported)
 
 
 def _use_gather_kernel(n: int, c: int) -> bool:
@@ -444,13 +446,27 @@ class EdgeConvResFeat(nn.Module):
                 g1, diff = conv(feat, nbr, parts=True)
                 b, n, _ = feat.shape
                 kk = self.k
-                deg = jnp.zeros((b, n), jnp.float32).at[
-                    jnp.arange(b)[:, None], nbr.reshape(b, n * kk)
-                ].add(1.0)
-                hp = jax.lax.Precision.HIGHEST
-                s1 = gather_rows_sum(g1, nbr)              # [B,N,C]
-                sum_g_b = jnp.einsum("bn,bnc->bc", deg, g1, precision=hp)
-                sum_g2 = jnp.einsum("bn,bnc->c", deg, g1 * g1, precision=hp)
+                use_kernel = (
+                    _opc.TRAIN_COMMUTE_IMPL in ("1", "pallas")
+                    and jax.default_backend() not in ("cpu", "gpu")
+                    and edge_gather_stats_supported(n, out_ch))
+                if use_kernel:
+                    # one fused VMEM pass: per-point max/min/sum/sumsq
+                    # over the k rows; VJP is a table-accumulate
+                    # scatter kernel (no XLA scatter anywhere)
+                    mxg, mng, s1, s2 = edge_gather_stats(g1, nbr)
+                    sum_g_b = jnp.sum(s1, axis=1)          # [B,C]
+                    sum_g2 = jnp.sum(s2, axis=(0, 1))
+                else:
+                    hp = jax.lax.Precision.HIGHEST
+                    deg = jnp.zeros((b, n), jnp.float32).at[
+                        jnp.arange(b)[:, None], nbr.reshape(b, n * kk)
+                    ].add(1.0)
+                    s1 = gather_rows_sum(g1, nbr)          # [B,N,C]
+                    sum_g_b = jnp.einsum("bn,bnc->bc", deg, g1,
+                                         precision=hp)
+                    sum_g2 = jnp.einsum("bn,bnc->c", deg, g1 * g1,
+                                        precision=hp)
                 sum_d_b = jnp.sum(diff, axis=1)            # [B,C]
                 cnt = b * n * kk
                 mean = (jnp.sum(sum_g_b, 0) + kk * jnp.sum(sum_d_b, 0)) / cnt
@@ -459,7 +475,11 @@ class EdgeConvResFeat(nn.Module):
                 var = mean2 - mean * mean
                 a, b0 = _ExternalStatsBN(name=f"BatchNorm_{idx - 1}")(
                     mean, var)
-                m = gather_rows_scaled_max(g1 * a, nbr)    # [B,N,C]
+                if use_kernel:
+                    # max_j a*gj = a>=0 ? a*max_j gj : a*min_j gj
+                    m = jnp.where(a >= 0, a * mxg, a * mng)
+                else:
+                    m = gather_rows_scaled_max(g1 * a, nbr)  # [B,N,C]
                 z = m + a * diff + b0
                 if self.use_selayer:
                     # SE squeeze of BN(e): mean over (N, k) per (B, C)

@@ -44,9 +44,22 @@ ENC_COMMUTE = os.environ.get("SPARENET_ENC_COMMUTE", "1") == "1"
 # 5-pass dense chain's backward. Exact in value up to f32 sum
 # association; gradient routing at exact max ties is first-winner
 # (dense jnp.max splits ties — measure-zero on real activations).
-# Opt-in (default 0) until the hardware A/B lands
-# (scripts/r4/profile_train_decomp.py measures both).
-TRAIN_COMMUTE = os.environ.get("SPARENET_TRAIN_COMMUTE", "0") == "1"
+# Measured (r4, B=24 chamfer, v5e, scripts/r4/profile_train_decomp.py):
+# the pure-XLA formulation LOSES to the dense chain — full step 887 vs
+# 797 ms (fwd 441 vs 400; enc bwd 219 vs 172) — because TPU XLA
+# serializes the scalar-index scatters it leans on (the deg histogram
+# in forward, the per-slot row scatters of the gather VJPs in
+# backward), costing more than the skipped dense elementwise passes.
+# The identity is exact (tests/test_train_commute.py) and the traffic
+# math holds, so the path stays available for a Pallas realization
+# (VMEM-resident fused gather-reduce forward + table-accumulate
+# scatter VJP, the gather_pallas/mds_pallas pattern); until then it is
+# OFF by default — a measured negative result, kept honest here.
+# Values: "0" off; "1"/"pallas" on with the Pallas fused gather/scatter
+# kernels (ops/pallas/edge_train_pallas.py) where supported; "xla"
+# forces the pure-XLA formulation (the measured-negative A/B arm).
+TRAIN_COMMUTE_IMPL = os.environ.get("SPARENET_TRAIN_COMMUTE", "0").lower()
+TRAIN_COMMUTE = TRAIN_COMMUTE_IMPL != "0"
 
 # SPARENET_EVAL_FAST=1 enables the eval-mode EdgeConv fast path
 # (neighborhood-extrema formulation; see models/layers.py). Exact in

@@ -109,3 +109,44 @@ def test_edge_gather_vjps(rng):
         np.testing.assert_allclose(np.asarray(vjp(co)[0]),
                                    np.asarray(vjp_r(co)[0]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_edge_gather_stats_kernel_interpret(rng):
+    """Pallas fused stats kernel (interpret mode) vs XLA reference:
+    forward values and VJP routing must match ops/edge_gather.py
+    conventions (first-slot extrema routing, broadcast sum, 2*row*g
+    for sumsq)."""
+    from sparenet_tpu.ops.pallas.edge_train_pallas import edge_gather_stats
+
+    B_, N_, M_, K_, C_ = 2, 40, 24, 8, 136   # C not a lane multiple
+    g = jnp.asarray(rng.rand(B_, N_, C_), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, N_, (B_, M_, K_)), jnp.int32)
+
+    def ref(gg):
+        gj = jnp.take_along_axis(gg[:, :, None, :], idx[..., None], axis=1)
+        return (jnp.max(gj, 2), jnp.min(gj, 2), jnp.sum(gj, 2),
+                jnp.sum(gj * gj, 2))
+
+    outs = edge_gather_stats(g, idx, True)
+    refs = ref(g)
+    for o, r, name in zip(outs, refs, ("max", "min", "sum", "sumsq")):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+    # VJP: compare against the same composite loss through the XLA ref
+    co = [jnp.asarray(rng.rand(B_, M_, C_), jnp.float32) for _ in range(4)]
+
+    def loss_k(gg):
+        mx, mn, s1, s2 = edge_gather_stats(gg, idx, True)
+        return jnp.sum(mx * co[0]) + jnp.sum(mn * co[1]) \
+            + jnp.sum(s1 * co[2]) + jnp.sum(s2 * co[3])
+
+    def loss_r(gg):
+        mx, mn, s1, s2 = ref(gg)
+        return jnp.sum(mx * co[0]) + jnp.sum(mn * co[1]) \
+            + jnp.sum(s1 * co[2]) + jnp.sum(s2 * co[3])
+
+    gk = jax.grad(loss_k)(g)
+    gr = jax.grad(loss_r)(g)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               rtol=1e-5, atol=1e-5)
