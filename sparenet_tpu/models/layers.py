@@ -428,7 +428,16 @@ class EdgeConvResFeat(nn.Module):
         def stage(feat, out_ch, idx):
             nbr = knn_idx(feat, k=self.k)                  # [B,N,k]
             conv = EdgeConv1x1(out_ch, dtype=edt)
-            if train and _opc.TRAIN_COMMUTE:
+            tc_impl = _opc.TRAIN_COMMUTE_IMPL if _opc.TRAIN_COMMUTE else "0"
+            tc_kernel_ok = (jax.default_backend() not in ("cpu", "gpu")
+                            and edge_gather_stats_supported(
+                                feat.shape[1], out_ch))
+            # "auto" uses the commute stage only where the Pallas
+            # kernels carry it (the XLA arm is measured slower than
+            # dense); "xla"/"pallas"/"1" force their arm for A/Bs
+            if tc_impl == "auto" and not tc_kernel_ok:
+                tc_impl = "0"
+            if train and tc_impl != "0":
                 # TRAIN-mode commuted stage: the edge tensor's BN batch
                 # statistics factorize over e = g1[idx] + diff —
                 #   sum(e)  = sum_m deg[m]*g1[m]    + k*sum(diff)
@@ -446,10 +455,8 @@ class EdgeConvResFeat(nn.Module):
                 g1, diff = conv(feat, nbr, parts=True)
                 b, n, _ = feat.shape
                 kk = self.k
-                use_kernel = (
-                    _opc.TRAIN_COMMUTE_IMPL in ("1", "pallas")
-                    and jax.default_backend() not in ("cpu", "gpu")
-                    and edge_gather_stats_supported(n, out_ch))
+                use_kernel = (tc_impl in ("1", "pallas", "auto")
+                              and tc_kernel_ok)
                 if use_kernel:
                     # one fused VMEM pass: per-point max/min/sum/sumsq
                     # over the k rows; VJP is a table-accumulate

@@ -35,10 +35,12 @@ def test_train_commute_matches_dense(monkeypatch, rng, use_selayer):
     model, x = _build(rng, use_selayer)
 
     monkeypatch.setattr(opc, "TRAIN_COMMUTE", False)
+    monkeypatch.setattr(opc, "TRAIN_COMMUTE_IMPL", "0")
     variables = model.init({"params": jax.random.PRNGKey(0)}, x)
     out_d, bs_d = _apply(model, variables, x)
 
     monkeypatch.setattr(opc, "TRAIN_COMMUTE", True)
+    monkeypatch.setattr(opc, "TRAIN_COMMUTE_IMPL", "xla")
     v_c = model.init({"params": jax.random.PRNGKey(0)}, x)
     assert (jax.tree_util.tree_structure(v_c)
             == jax.tree_util.tree_structure(variables)), \
@@ -60,11 +62,14 @@ def test_train_commute_matches_dense(monkeypatch, rng, use_selayer):
 def test_train_commute_grads_match(monkeypatch, rng, use_selayer):
     model, x = _build(rng, use_selayer)
     monkeypatch.setattr(opc, "TRAIN_COMMUTE", False)
+    monkeypatch.setattr(opc, "TRAIN_COMMUTE_IMPL", "0")
     variables = model.init({"params": jax.random.PRNGKey(0)}, x)
     tgt = jnp.asarray(rng.rand(B, H), jnp.float32)
 
     def loss_fn(params, commute):
         monkeypatch.setattr(opc, "TRAIN_COMMUTE", commute)
+        monkeypatch.setattr(opc, "TRAIN_COMMUTE_IMPL",
+                            "xla" if commute else "0")
         out, _ = model.apply(
             {"params": params, "batch_stats": variables["batch_stats"]},
             x, mutable=["batch_stats"])
