@@ -115,8 +115,7 @@ def main():
         # record which MDS implementation the serving refine actually
         # resolved to (batched | hybrid | explicit override)
         from sparenet_tpu.ops import mds as _mds
-        result["mds"] = (_mds._MDS_IMPL if _mds._MDS_IMPL != "auto"
-                         else _mds._SERVING_IMPL)
+        result["mds"] = _mds.resolve_impl()
     print(json.dumps(result))
 
 

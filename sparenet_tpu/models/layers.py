@@ -425,13 +425,20 @@ class EdgeConvResFeat(nn.Module):
         from ..ops import common as _opc
         edt = jnp.bfloat16 if (_opc.FAST_MATH and not train) else None
 
+        # Commute-kernel support must be decided ONCE for the whole
+        # encoder: commute stages claim explicit BatchNorm_0..3 names
+        # while the dense arm auto-names its BNs from 0, so a per-stage
+        # "auto" gate that diverged across stages (possible at large N,
+        # where only the widest stage exceeds the VMEM table limit)
+        # would collide both naming schemes in one scope. Gate on the
+        # widest stage (h//4) — if it fits, every stage fits.
+        tc_kernel_ok = (jax.default_backend() not in ("cpu", "gpu")
+                        and edge_gather_stats_supported(x.shape[1], h // 4))
+
         def stage(feat, out_ch, idx):
             nbr = knn_idx(feat, k=self.k)                  # [B,N,k]
             conv = EdgeConv1x1(out_ch, dtype=edt)
             tc_impl = _opc.TRAIN_COMMUTE_IMPL if _opc.TRAIN_COMMUTE else "0"
-            tc_kernel_ok = (jax.default_backend() not in ("cpu", "gpu")
-                            and edge_gather_stats_supported(
-                                feat.shape[1], out_ch))
             # "auto" uses the commute stage only where the Pallas
             # kernels carry it (the XLA arm is measured slower than
             # dense); "xla"/"pallas"/"1" force their arm for A/Bs

@@ -77,7 +77,7 @@ def _round_bids(xyz1, xyz2, price):
 def _use_pallas_bids(n: int) -> bool:
     from .pallas import emd_pallas as ep
     return (jax.default_backend() not in ("cpu", "gpu")
-            and n % ep._OC == 0 and n % ep._BT == 0)
+            and ep.supports(n))
 
 
 def _resolve_round(n, assignment, assignment_inv, price, target, inc, last):

@@ -30,7 +30,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["minimum_density_sample", "gather_points"]
+__all__ = ["minimum_density_sample", "gather_points", "resolve_impl"]
 
 _BIG = 1e9
 _HEAVY_FROM = 8192  # points at index >= this get 2x density weight
@@ -64,6 +64,28 @@ if _MDS_TAIL < 1:
 # the stage-1 hardware pass (quality envelope + bench) decides the
 # shipped default. SPARENET_MDS_IMPL overrides either way.
 _SERVING_IMPL = os.environ.get("SPARENET_MDS_SERVING", "batched").lower()
+
+
+def resolve_impl(impl: str = "auto") -> str:
+    """Resolve an impl request to the concrete implementation
+    ``minimum_density_sample`` would run RIGHT NOW (honoring the
+    SPARENET_MDS_IMPL override, the backend, and serving mode).
+
+    Public so tooling (bench.py) can label records without reaching
+    into module globals; the sampling entry points route through it so
+    the label can never drift from the executed path.
+    """
+    if impl == "auto" and _MDS_IMPL != "auto":
+        impl = _MDS_IMPL
+    if impl == "auto":
+        from .common import FAST_MATH
+        if jax.default_backend() in ("cpu", "gpu"):
+            impl = "xla"
+        elif FAST_MATH:
+            impl = _SERVING_IMPL
+        else:
+            impl = "pallas"
+    return impl
 
 
 def _mds_one(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray) -> jnp.ndarray:
@@ -417,22 +439,13 @@ def minimum_density_sample(xyz: jnp.ndarray, npoint: int,
     chunked formulation (_mds_chunked) is selectable via impl="chunked"
     or SPARENET_MDS_IMPL=chunked.
     """
-    if impl == "auto" and _MDS_IMPL != "auto":
-        impl = _MDS_IMPL
-    if impl == "auto":
-        from .common import FAST_MATH
-        if jax.default_backend() in ("cpu", "gpu"):
-            impl = "xla"
-        elif FAST_MATH:
-            # serving mode: _SERVING_IMPL ("batched" | "hybrid").
-            # batch-greedy is ~2.7x the exact greedy kernel (30 vs
-            # 80 ms at the production shape) with selection-set drift
-            # 4-9e-5 gathered-cloud CD; the r4 hybrid adds an exact
-            # greedy tail on compacted lanes for greedy-level quality
-            # (scripts/r4/mds_lab.py). Parity mode keeps exact greedy.
-            impl = _SERVING_IMPL
-        else:
-            impl = "pallas"
+    # serving mode resolves "auto" to _SERVING_IMPL ("batched" |
+    # "hybrid"): batch-greedy is ~2.7x the exact greedy kernel (30 vs
+    # 80 ms at the production shape) with selection-set drift 4-9e-5
+    # gathered-cloud CD; the r4 hybrid adds an exact greedy tail on
+    # compacted lanes for greedy-level quality (scripts/r4/mds_lab.py).
+    # Parity mode keeps exact greedy.
+    impl = resolve_impl(impl)
     if impl == "chunked":
         return _mds_chunked(xyz, npoint, mean_mst_length, chunk=_MDS_CHUNK)
     if impl == "batched":
@@ -458,12 +471,7 @@ def minimum_density_sample_xyz(xyz: jnp.ndarray, npoint: int,
     gather over the base cloud (~75%% of the rows at G=4096); other
     impls gather once after selection.
     """
-    if impl == "auto" and _MDS_IMPL != "auto":
-        impl = _MDS_IMPL
-    if impl == "auto":
-        from .common import FAST_MATH
-        if jax.default_backend() not in ("cpu", "gpu") and FAST_MATH:
-            impl = _SERVING_IMPL
+    impl = resolve_impl(impl)
     if impl == "batched":
         return _mds_batched(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
                             return_xyz=True)

@@ -35,6 +35,12 @@ _OC = 2048     # objects per in-VMEM chunk (lane axis)
 _NEG = -3.4e38  # finite f32 "-inf" (python scalar: kernels cannot capture arrays)
 
 
+def supports(n: int) -> bool:
+    """True when the bid kernel's tiling divides n (the public
+    shape-support predicate; backend selection stays in the caller)."""
+    return n % _OC == 0 and n % _BT == 0
+
+
 def _bid_kernel(n: int, oc: int, x1_ref, x2_ref, price_ref, tgt_ref, inc_ref):
     """x1_ref [1, BT, 3]; x2_ref [1, 3, n]; price_ref [1, 1, n];
     tgt_ref [1, BT, 1] int32; inc_ref [1, BT, 1] f32."""

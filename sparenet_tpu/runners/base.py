@@ -171,6 +171,26 @@ class BaseRunner:
 
         ratio = float(fit(self.state.params, self.state.batch_stats,
                           partial))
+        if cfg.TPU.multihost and jax.process_count() > 1:
+            # every host must bake the SAME constant into its jitted
+            # eval step (divergent compiled programs across hosts are
+            # undefined behavior if the step carries collectives):
+            # mean the per-host fits
+            from jax.experimental import multihost_utils
+            ratio = float(multihost_utils.process_allgather(
+                jnp.float32(ratio)).mean())
+        # a degenerate checkpoint (collapsed coarse -> ratio ~ 0, or
+        # non-finite activations -> NaN) would zero/NaN the MDS
+        # temperature t = 5*mml^2 and silently poison serving output;
+        # measured fits span ~1.1 (converged SpareNet) to ~5.7 (MSN),
+        # so [0.05, 50] is a generous plausibility band
+        if not np.isfinite(ratio) or not (0.05 <= ratio <= 50.0):
+            self.logger.warning(
+                "Auto-calibrated mml ratio %r is outside the plausible "
+                "band [0.05, 50] — keeping the family default %.2f. "
+                "(Degenerate checkpoint? Set NETWORK.mml_calibration "
+                "to override explicitly.)" % (ratio, model.mml_calibration))
+            return
         self.model_eval = model.clone(mml_calibration=ratio)
         self.logger.info(
             "Auto-calibrated serving mml ratio on the first val batch: "
