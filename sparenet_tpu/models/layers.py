@@ -437,6 +437,11 @@ class EdgeConvResFeat(nn.Module):
 
         def stage(feat, out_ch, idx):
             nbr = knn_idx(feat, k=self.k)                  # [B,N,k]
+            # no-op unless the caller asks for 'intermediates'; the
+            # commute diagnostics (scripts/r5/diag_commute.py) read the
+            # per-stage graphs to attribute arm divergence to near-tie
+            # kNN flips vs kernel numerics
+            self.sow("intermediates", f"nbr{idx}", nbr)
             conv = EdgeConv1x1(out_ch, dtype=edt)
             tc_impl = _opc.TRAIN_COMMUTE_IMPL if _opc.TRAIN_COMMUTE else "0"
             # "auto" uses the commute stage only where the Pallas
@@ -550,15 +555,19 @@ class EdgeConvResFeat(nn.Module):
             return jnp.max(e, axis=2).astype(jnp.float32)  # [B,N,out_ch]
 
         x1 = stage(x, h // 16, 1)
+        self.sow("intermediates", "x1", x1)
 
         x2_res = Conv1d(h // 16, use_bias=False)(x1)
         x2 = stage(x1, h // 16, 2) + x2_res
+        self.sow("intermediates", "x2", x2)
 
         x3_res = Conv1d(h // 8, use_bias=False)(x2)
         x3 = stage(x2, h // 8, 3) + x3_res
+        self.sow("intermediates", "x3", x3)
 
         x4_res = Conv1d(h // 4, use_bias=False)(x3)
         x4 = stage(x3, h // 4, 4) + x4_res
+        self.sow("intermediates", "x4", x4)
 
         xc = jnp.concatenate([x1, x2, x3, x4], axis=-1)    # [B,N,h/2]
         # conv5 tail: [B, N, output/2] is the encoder's widest tensor;
