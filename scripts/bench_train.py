@@ -54,6 +54,11 @@ def main():
     # converged checkpoint consumed via WEIGHTS.
     cfg.NETWORK.n_primitives = 32
     cfg.TRAIN.batch_size = batch
+    # SERVING_ALIGNED=1: bench the documented serving-aligned training
+    # mode (cfg.TRAIN.serving_aligned — batched MDS in the train refine
+    # loop; see docs/SERVING_ENVELOPE.md §4)
+    aligned = os.environ.get("SERVING_ALIGNED", "0") == "1"
+    cfg.TRAIN.serving_aligned = aligned
 
     rs = np.random.RandomState(0)
     partial = jnp.asarray(rs.rand(batch, 3000, 3) - 0.5, jnp.float32)
@@ -108,6 +113,7 @@ def main():
             "step_ms": round(dt * 1000, 1),
             "batch": batch,
             "regime": "trained" if weights else "init",
+            "mode": "serving_aligned" if aligned else "parity",
         }), flush=True)
 
 

@@ -132,6 +132,17 @@ def default_config() -> AttrDict:
         gamma=0.5,
         betas=(0.0, 0.9),
         weight_decay=0,
+        # serving-aligned training (SpareNet/MSN): run the batch-greedy
+        # MDS selection in the TRAIN step's refine loop instead of the
+        # exact greedy kernel, so the refiner learns the selection
+        # distribution it will see in serving. Measured (round 4,
+        # docs/SERVING_ENVELOPE.md §4): ~10% faster per step AND better
+        # post-alignment serving quality; the round-4 fine-tune used
+        # exactly this (then via SPARENET_MDS_IMPL=batched). OFF by
+        # default for reference training parity
+        # (/root/reference/cuda/MDS/MDS_cuda.cu:104-211 is exact greedy).
+        # Val/eval steps are unaffected (the eval model keeps "auto").
+        serving_aligned=False,
     )
 
     cfg.TEST = _d(

@@ -29,6 +29,11 @@ def define_G(cfg, train: bool = True):
     # 0.0 = keep the family's own serving-mode mml calibration
     mml_kw = ({"mml_calibration": float(cfg.NETWORK.mml_calibration)}
               if cfg.NETWORK.mml_calibration > 0 else {})
+    # serving-aligned training (cfg.TRAIN.serving_aligned): the TRAIN
+    # model's refine loop uses the batch-greedy MDS; eval models keep
+    # "auto" (exact in parity mode) — see configs/defaults.py
+    if train and cfg.TRAIN.get("serving_aligned", False):
+        mml_kw["mds_impl"] = "batched"
     if mt == name.MODEL_SPARENET:
         return SpareNetGenerator(
             num_points=cfg.DATASET.n_outpoints,

@@ -32,6 +32,7 @@ class MSN(nn.Module):
     # trained SpareNet 1.33 — see ops/expansion_penalty.py and
     # docs/SERVING_ENVELOPE.md; recalibrate per checkpoint.
     mml_calibration: float = 5.65
+    mds_impl: str = "auto"  # see SpareNetRefine.mds_impl (serving-aligned training)
 
     @nn.compact
     def __call__(self, partial, grids=None):
@@ -79,7 +80,7 @@ class MSN(nn.Module):
             # (see SpareNetRefine)
             cat_xyz = jnp.concatenate([coarse, partial], axis=1)
             idx, sel = minimum_density_sample_xyz(
-                cat_xyz, self.num_points, mean_mst_dis)
+                cat_xyz, self.num_points, mean_mst_dis, impl=self.mds_impl)
             flag = (idx >= self.num_points).astype(coarse.dtype)[..., None]
             base = jnp.concatenate([sel, flag], axis=-1)
         else:
@@ -93,7 +94,8 @@ class MSN(nn.Module):
             )
             base = jnp.concatenate([gen, part], axis=1)
             idx = minimum_density_sample(
-                base[..., :3], self.num_points, mean_mst_dis)
+                base[..., :3], self.num_points, mean_mst_dis,
+                impl=self.mds_impl)
             base = gather_points(base, idx)
 
         delta = PointNetRes(train=self.train)(base)

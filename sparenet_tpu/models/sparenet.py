@@ -185,6 +185,13 @@ class SpareNetRefine(nn.Module):
     # the random-init fit 3.18 (docs/SERVING_ENVELOPE.md; recalibrate
     # per checkpoint with scripts/calibrate_mml.py --weights).
     mml_calibration: float = 1.33
+    # MDS implementation request for the resample (ops/mds.resolve_impl
+    # applies the env override + mode defaults). "batched" here is the
+    # SERVING-ALIGNED TRAINING mode (cfg.TRAIN.serving_aligned): the
+    # refiner trains against the same batch-greedy selection it will
+    # see in serving — measured both FASTER per step and BETTER on
+    # post-alignment serving quality (docs/SERVING_ENVELOPE.md §4).
+    mds_impl: str = "auto"
 
     @nn.compact
     def __call__(self, coarse, partial):
@@ -214,7 +221,8 @@ class SpareNetRefine(nn.Module):
             # (idx >= n <=> the row came from the partial block) — the
             # full-width gather_points over the base cloud disappears.
             cat_xyz = jnp.concatenate([coarse, partial], axis=1)
-            idx, sel = minimum_density_sample_xyz(cat_xyz, n, mean_mst_dis)
+            idx, sel = minimum_density_sample_xyz(cat_xyz, n, mean_mst_dis,
+                                                  impl=self.mds_impl)
             flag = (idx >= n).astype(coarse.dtype)[..., None]
             base = jnp.concatenate([sel, flag], axis=-1)  # [B, N, 4]
         else:
@@ -227,7 +235,8 @@ class SpareNetRefine(nn.Module):
             )
             base = jnp.concatenate([inps, part], axis=1)  # [B, N+N_in, 4]
 
-            idx = minimum_density_sample(base[..., :3], n, mean_mst_dis)
+            idx = minimum_density_sample(base[..., :3], n, mean_mst_dis,
+                                         impl=self.mds_impl)
             base = gather_points(base, idx)               # [B, N, 4]
 
         res_cls = EdgeRes if self.edgeres else PointNetRes
@@ -259,6 +268,7 @@ class SpareNetGenerator(nn.Module):
     encode: str = "Pointfeat"
     train: bool = True
     mml_calibration: float = 1.33  # serving-mode knob, see SpareNetRefine
+    mds_impl: str = "auto"         # see SpareNetRefine.mds_impl
     # cfg.TPU.remat: rematerialize the EdgeConv encoder, the fold
     # decoder, and the refine residual nets in the backward pass. The
     # edge tensors ([B, N, k, C]), the 32x [B, S, 1026] fold
@@ -291,6 +301,7 @@ class SpareNetGenerator(nn.Module):
             use_selayer=self.use_selayer,
             train=self.train,
             mml_calibration=self.mml_calibration,
+            mds_impl=self.mds_impl,
             remat=self.remat,
         )
 
