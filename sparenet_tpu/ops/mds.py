@@ -60,6 +60,19 @@ if _MDS_BATCH_G < 1:
 _MDS_TAIL = int(os.environ.get("SPARENET_MDS_TAIL", "2048"))
 if _MDS_TAIL < 1:
     raise ValueError(f"SPARENET_MDS_TAIL={_MDS_TAIL} must be >= 1")
+# Batch-greedy round-size SCHEDULE (comma ints, e.g. "2048,4096"):
+# overrides the fixed G for the leading rounds; the remainder runs in
+# one final round. Front-loaded small rounds buy EARLY density updates
+# at (nearly) the same total update work as G=8192 — update cost scales
+# with npoint minus the final round, so "2048,4096" (final round 10239,
+# two updates) costs about one G=8192 update but refreshes the density
+# at picks 2048 and 6144 where staleness hurts most. Empty = fixed G.
+_MDS_SCHEDULE = tuple(
+    int(v) for v in os.environ.get("SPARENET_MDS_SCHEDULE", "").split(",")
+    if v.strip())
+if any(v < 1 for v in _MDS_SCHEDULE):
+    raise ValueError(
+        f"SPARENET_MDS_SCHEDULE={_MDS_SCHEDULE} entries must be >= 1")
 # What serving-mode "auto" resolves to on TPU ("batched" | "hybrid");
 # the stage-1 hardware pass (quality envelope + bench) decides the
 # shipped default. SPARENET_MDS_IMPL overrides either way.
@@ -223,10 +236,11 @@ def _mds_chunked(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("npoint", "g", "return_xyz",
-                                    "return_state"))
+                                    "return_state", "schedule"))
 def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
                  g: int = 512, return_xyz: bool = False,
-                 return_state: bool = False) -> jnp.ndarray:
+                 return_state: bool = False,
+                 schedule: tuple = ()) -> jnp.ndarray:
     """Batch-greedy MDS: select the G lowest-density points per round and
     apply ONE fused density update, in ceil((npoint-1)/G) rounds.
 
@@ -288,9 +302,27 @@ def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
         out_xyz = jax.lax.dynamic_update_slice(
             out_xyz, xyz[:, :1], (0, 0, 0))
 
+    # round sizes: a fixed G, or an explicit schedule (front-loaded
+    # small rounds buy EARLY density updates at the same total update
+    # work — update cost scales with the number of selections COVERED
+    # by updates, i.e. npoint minus the final round's size, so e.g.
+    # [2048, 4096, 10240] costs the same as G=8192 but refreshes the
+    # density twice instead of once). Python-static: shapes per round
+    # are compile-time constants either way.
+    takes, covered = [], 1
+    for r in (schedule or ()):
+        if covered >= npoint:
+            break
+        t = min(int(r), npoint - covered)
+        takes.append(t)
+        covered += t
+    while covered < npoint:
+        t = min(g, npoint - covered)
+        takes.append(t)
+        covered += t
+
     done, pos = 1, 1
-    while done < npoint:
-        take = min(g, npoint - done)
+    for take in takes:
         negv, c = jax.lax.top_k(-temp, take)                  # stable
         last = done + take >= npoint
         update = (not last) or return_state
@@ -449,7 +481,8 @@ def minimum_density_sample(xyz: jnp.ndarray, npoint: int,
     if impl == "chunked":
         return _mds_chunked(xyz, npoint, mean_mst_length, chunk=_MDS_CHUNK)
     if impl == "batched":
-        return _mds_batched(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G)
+        return _mds_batched(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
+                            schedule=_MDS_SCHEDULE)
     if impl == "hybrid":
         return _mds_hybrid(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
                            tail=_MDS_TAIL)
@@ -474,7 +507,7 @@ def minimum_density_sample_xyz(xyz: jnp.ndarray, npoint: int,
     impl = resolve_impl(impl)
     if impl == "batched":
         return _mds_batched(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
-                            return_xyz=True)
+                            return_xyz=True, schedule=_MDS_SCHEDULE)
     if impl == "hybrid":
         return _mds_hybrid(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
                            tail=_MDS_TAIL, return_xyz=True)

@@ -166,3 +166,27 @@ def test_mean_mst_length_estimate(rng):
     _, _, true_mml = expansion_penalty(pts, 256, 1.5)
     ratio = np.asarray(est / true_mml)
     assert np.all(ratio > 0.2) and np.all(ratio < 10.0), ratio
+
+
+def test_mds_batched_schedule(rng):
+    """SPARENET_MDS_SCHEDULE round plan: a schedule that reproduces the
+    fixed-G round sequence is bit-identical; a front-loaded schedule
+    still yields a valid selection (unique indices, seed pick 0)."""
+    import jax.numpy as jnp
+    from sparenet_tpu.ops.mds import _mds_batched
+
+    x = jnp.asarray(rng.rand(2, 96, 3), jnp.float32)
+    mml = jnp.full((2,), 0.3, jnp.float32)
+    npoint = 64
+
+    fixed = _mds_batched(x, npoint, mml, g=16)
+    takes_equiv = tuple([16] * 4)            # 1 + 16*3 + final 15
+    sched = _mds_batched(x, npoint, mml, g=999, schedule=takes_equiv)
+    assert bool(jnp.all(fixed == sched))
+
+    front = _mds_batched(x, npoint, mml, g=8192, schedule=(8, 16))
+    out = np.asarray(front)
+    assert out.shape == (2, npoint)
+    for b in range(2):
+        assert out[b, 0] == 0
+        assert len(set(out[b].tolist())) == npoint  # no duplicates
