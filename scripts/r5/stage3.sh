@@ -16,12 +16,12 @@ python scripts/calibrate_mml.py --model sparenet --weights "$FT2" \
     2>&1 | tee $OUT/calibrate_ft2.log
 RATIO=$(grep -oP 'ratio: mean \K[0-9.]+' $OUT/calibrate_ft2.log | head -1)
 
-echo "=== [2/3] multi-batch envelope (ratio ${RATIO:-1.1497}) ==="
+echo "=== [2/3] batched-MDS round decomposition ==="
+python scripts/r5/profile_mds_rounds.py 2>&1 | tee $OUT/mds_rounds.log
+
+echo "=== [3/3] multi-batch envelope (ratio ${RATIO:-1.1497}) ==="
 python scripts/r5/envelope_multibatch.py --weights "$FT2" \
     --calibration "${RATIO:-1.1497}" --batches 8 --batch 16 \
     --json-out $OUT/envelope_ft2.json 2>&1 | tee $OUT/envelope_ft2.log
-
-echo "=== [3/3] batched-MDS round decomposition ==="
-python scripts/r5/profile_mds_rounds.py 2>&1 | tee $OUT/mds_rounds.log
 
 echo "STAGE3 DONE"
