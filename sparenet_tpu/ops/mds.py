@@ -73,6 +73,18 @@ _MDS_SCHEDULE = tuple(
 if any(v < 1 for v in _MDS_SCHEDULE):
     raise ValueError(
         f"SPARENET_MDS_SCHEDULE={_MDS_SCHEDULE} entries must be >= 1")
+# Batch-greedy within-round selection: "bisect" (default) finds the
+# take-th-smallest density by binary search on the f32 bit space —
+# O(31) fused [B, N] count passes + one cumsum/searchsorted compaction,
+# flat in `take` — and picks the IDENTICAL set stable lax.top_k picks
+# (ties to the lower index; set-equality tested incl. tie fabrics).
+# "topk" keeps lax.top_k, whose cost grows steeply with take (2.6 ms at
+# take=2048 -> ~13.6 ms at take=12287 at the production shape,
+# docs/artifacts/r5/stage3/mds_rounds.log) — retained for A/B.
+_MDS_SELECT = os.environ.get("SPARENET_MDS_SELECT", "bisect").lower()
+if _MDS_SELECT not in ("bisect", "topk"):
+    raise ValueError(f"SPARENET_MDS_SELECT={_MDS_SELECT!r} "
+                     "must be 'bisect' or 'topk'")
 # What serving-mode "auto" resolves to on TPU ("batched" | "hybrid");
 # the stage-1 hardware pass (quality envelope + bench) decides the
 # shipped default. SPARENET_MDS_IMPL overrides either way.
@@ -99,6 +111,59 @@ def resolve_impl(impl: str = "auto") -> str:
         else:
             impl = "pallas"
     return impl
+
+
+def _select_smallest(temp: jnp.ndarray, take: int) -> jnp.ndarray:
+    """Indices of the `take` smallest densities per batch row — the
+    IDENTICAL set stable ``lax.top_k(-temp, take)`` picks (ties resolve
+    to the lower index, matching the reference argmin), returned in
+    ascending INDEX order instead of ascending value order (the
+    batch-greedy consumer is order-free within a round: the selection
+    SET drives everything downstream).
+
+    Densities are finite and >= 0 (sums of exp2 terms; pins at 1e9), so
+    f32 bit patterns order monotonically as int32 and the take-th
+    smallest is found by a 31-step binary search over the bit space —
+    31 fused [B, N] count passes, flat in `take` — followed by one
+    cumsum + searchsorted compaction. lax.top_k's cost instead grows
+    steeply with take (measured 2.6 ms at take=2048 -> ~13.6 ms at
+    take=12287, B=32 N=19456; docs/artifacts/r5/stage3/mds_rounds.log),
+    which made large-final-round schedules pay more for selection than
+    their density updates.
+    """
+    b, n = temp.shape
+    bits = jax.lax.bitcast_convert_type(temp, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi                                        # [B], [B]
+        mid = lo + (hi - lo) // 2      # (lo+hi)//2 overflows int32
+        cnt = jnp.sum((bits <= mid[:, None]).astype(jnp.int32), axis=1)
+        ge = cnt >= take
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo0 = jnp.zeros((b,), jnp.int32)
+    hi0 = jnp.full((b,), jnp.int32(0x4E6E6B28))              # bits(1e9)
+    # minimal v with count(bits <= v) >= take  ==  the take-th smallest
+    # bit value; 31 iterations cover the full non-negative i32 range
+    tau, _ = jax.lax.fori_loop(0, 31, body, (lo0, hi0))
+    tau = tau[:, None]
+    lt = bits < tau
+    need = take - jnp.sum(lt.astype(jnp.int32), axis=1, keepdims=True)
+    tie = bits == tau
+    rank = jnp.cumsum(tie.astype(jnp.int32), axis=1)         # 1-based
+    sel = lt | (tie & (rank <= need))
+    csum = jnp.cumsum(sel.astype(jnp.int32), axis=1)
+    targets = jnp.arange(1, take + 1, dtype=jnp.int32)
+    idx = jax.vmap(lambda cs: jnp.searchsorted(cs, targets, side="left"))(
+        csum)
+    return idx.astype(jnp.int32)
+
+
+def _round_pick(temp: jnp.ndarray, take: int, select: str) -> jnp.ndarray:
+    """One batch-greedy round's selection (see _MDS_SELECT)."""
+    if (select or _MDS_SELECT) == "bisect":
+        return _select_smallest(temp, take)
+    return jax.lax.top_k(-temp, take)[1]
 
 
 def _mds_one(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray) -> jnp.ndarray:
@@ -236,11 +301,11 @@ def _mds_chunked(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("npoint", "g", "return_xyz",
-                                    "return_state", "schedule"))
+                                    "return_state", "schedule", "select"))
 def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
                  g: int = 512, return_xyz: bool = False,
                  return_state: bool = False,
-                 schedule: tuple = ()) -> jnp.ndarray:
+                 schedule: tuple = (), select: str = "") -> jnp.ndarray:
     """Batch-greedy MDS: select the G lowest-density points per round and
     apply ONE fused density update, in ceil((npoint-1)/G) rounds.
 
@@ -323,7 +388,7 @@ def _mds_batched(xyz: jnp.ndarray, npoint: int, mean_mst_length: jnp.ndarray,
 
     done, pos = 1, 1
     for take in takes:
-        negv, c = jax.lax.top_k(-temp, take)                  # stable
+        c = _round_pick(temp, take, select)    # stable-top_k set
         last = done + take >= npoint
         update = (not last) or return_state
         out = jax.lax.dynamic_update_slice(out, c, (0, pos))
@@ -482,7 +547,7 @@ def minimum_density_sample(xyz: jnp.ndarray, npoint: int,
         return _mds_chunked(xyz, npoint, mean_mst_length, chunk=_MDS_CHUNK)
     if impl == "batched":
         return _mds_batched(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
-                            schedule=_MDS_SCHEDULE)
+                            schedule=_MDS_SCHEDULE, select=_MDS_SELECT)
     if impl == "hybrid":
         return _mds_hybrid(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
                            tail=_MDS_TAIL)
@@ -507,7 +572,8 @@ def minimum_density_sample_xyz(xyz: jnp.ndarray, npoint: int,
     impl = resolve_impl(impl)
     if impl == "batched":
         return _mds_batched(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
-                            return_xyz=True, schedule=_MDS_SCHEDULE)
+                            return_xyz=True, schedule=_MDS_SCHEDULE,
+                            select=_MDS_SELECT)
     if impl == "hybrid":
         return _mds_hybrid(xyz, npoint, mean_mst_length, g=_MDS_BATCH_G,
                            tail=_MDS_TAIL, return_xyz=True)

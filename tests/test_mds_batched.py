@@ -105,3 +105,51 @@ def test_mds_xyz_api_fallback_and_batched(monkeypatch, rng):
     want_b = np.take_along_axis(np.asarray(xyz),
                                 np.asarray(idx_b)[..., None], axis=1)
     np.testing.assert_array_equal(np.asarray(sel_b), want_b)
+
+
+def test_bisect_select_matches_topk_set(rng):
+    """_select_smallest picks the IDENTICAL set stable lax.top_k picks
+    (ties to the lower index) — on continuous densities, on pin-heavy
+    rows, and on adversarial tie fabrics (many duplicated values,
+    exact-zero underflow lanes)."""
+    import jax
+    import jax.numpy as jnp
+    from sparenet_tpu.ops.mds import _select_smallest, _BIG
+
+    cases = []
+    t = rng.rand(4, 300).astype(np.float32) * 100
+    cases.append(("continuous", t))
+    t2 = t.copy(); t2[:, :40] = _BIG                # pinned block
+    cases.append(("pinned", t2))
+    t3 = np.repeat(rng.rand(4, 30).astype(np.float32), 10, axis=1)
+    cases.append(("dup-fabric", t3))                # 10-way value ties
+    t4 = t.copy(); t4[:, 50:200] = 0.0              # underflow lanes
+    cases.append(("zeros", t4))
+    for take in (1, 7, 150, 299):
+        for name, tc in cases:
+            tc = jnp.asarray(tc)
+            a = np.asarray(jax.jit(
+                lambda x: _select_smallest(x, take))(tc))
+            b = np.asarray(jax.jit(
+                lambda x: jax.lax.top_k(-x, take)[1])(tc))
+            for bi in range(tc.shape[0]):
+                assert set(a[bi].tolist()) == set(b[bi].tolist()), (
+                    name, take, bi)
+            # index-sorted within the round, by construction
+            assert (np.diff(a, axis=1) > 0).all(), (name, take)
+
+
+def test_batched_bisect_vs_topk_same_selection(rng):
+    """End-to-end _mds_batched: the bisect and topk selection arms pick
+    identical per-round sets, so the final selection SETS agree at
+    every config (order within a round may differ)."""
+    import jax.numpy as jnp
+    from sparenet_tpu.ops.mds import _mds_batched
+
+    x = jnp.asarray(rng.rand(2, 96, 3), jnp.float32)
+    mml = jnp.full((2,), 0.3, jnp.float32)
+    for kw in (dict(g=16), dict(g=48), dict(g=8192, schedule=(8, 16))):
+        a = np.asarray(_mds_batched(x, 64, mml, select="bisect", **kw))
+        b = np.asarray(_mds_batched(x, 64, mml, select="topk", **kw))
+        for bi in range(2):
+            assert set(a[bi].tolist()) == set(b[bi].tolist()), kw
