@@ -73,18 +73,26 @@ _MDS_SCHEDULE = tuple(
 if any(v < 1 for v in _MDS_SCHEDULE):
     raise ValueError(
         f"SPARENET_MDS_SCHEDULE={_MDS_SCHEDULE} entries must be >= 1")
-# Batch-greedy within-round selection: "bisect" (default) finds the
-# take-th-smallest density by binary search on the f32 bit space —
-# O(31) fused [B, N] count passes + one cumsum/searchsorted compaction,
-# flat in `take` — and picks the IDENTICAL set stable lax.top_k picks
-# (ties to the lower index; set-equality tested incl. tie fabrics).
-# "topk" keeps lax.top_k, whose cost grows steeply with take (2.6 ms at
-# take=2048 -> ~13.6 ms at take=12287 at the production shape,
-# docs/artifacts/r5/stage3/mds_rounds.log) — retained for A/B.
-_MDS_SELECT = os.environ.get("SPARENET_MDS_SELECT", "bisect").lower()
-if _MDS_SELECT not in ("bisect", "topk"):
+# Batch-greedy within-round selection: all arms pick the IDENTICAL set
+# stable lax.top_k picks (ties to the lower index; set-equality tested
+# incl. tie fabrics):
+#   "sort"   (default) one stable variadic lax.sort of the f32 density
+#            bit patterns with an index payload — the first `take`
+#            payload entries ARE stable top_k's picks; flat in `take`,
+#            no gathers anywhere.
+#   "bisect" take-th-smallest by 31-step binary search on the bit
+#            space + cumsum/searchsorted compaction. Also flat in
+#            `take`, but the searchsorted scan-method compaction lowers
+#            to per-query dynamic gathers on TPU — measured ~98 ms at
+#            the production shape (docs/artifacts/r5/stage4), 7x WORSE
+#            than the top_k it replaced. Retained as a negative result.
+#   "topk"   lax.top_k, whose cost grows steeply with take (2.6 ms at
+#            take=2048 -> ~13.6 ms at take=12287 at the production
+#            shape, docs/artifacts/r5/stage3) — retained for A/B.
+_MDS_SELECT = os.environ.get("SPARENET_MDS_SELECT", "sort").lower()
+if _MDS_SELECT not in ("sort", "bisect", "topk"):
     raise ValueError(f"SPARENET_MDS_SELECT={_MDS_SELECT!r} "
-                     "must be 'bisect' or 'topk'")
+                     "must be 'sort', 'bisect' or 'topk'")
 # What serving-mode "auto" resolves to on TPU ("batched" | "hybrid");
 # the stage-1 hardware pass (quality envelope + bench) decides the
 # shipped default. SPARENET_MDS_IMPL overrides either way.
@@ -159,9 +167,31 @@ def _select_smallest(temp: jnp.ndarray, take: int) -> jnp.ndarray:
     return idx.astype(jnp.int32)
 
 
+def _select_smallest_sort(temp: jnp.ndarray, take: int) -> jnp.ndarray:
+    """Stable-top_k-identical selection via ONE stable variadic sort.
+
+    Non-negative f32 densities order monotonically as their int32 bit
+    patterns; a stable ascending sort with an index payload puts stable
+    ``lax.top_k(-temp, take)``'s picks (ties to the lower index) in the
+    first `take` payload slots, in ascending VALUE order — the same
+    order the topk arm emits. Cost is one [B, N] 32-bit key sort,
+    independent of `take` (vs lax.top_k's steep growth in `take`), and
+    there are no gathers or scatters anywhere.
+    """
+    b, n = temp.shape
+    bits = jax.lax.bitcast_convert_type(temp, jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    _, idx = jax.lax.sort((bits, iota), dimension=1, num_keys=1,
+                          is_stable=True)
+    return jax.lax.slice_in_dim(idx, 0, take, axis=1)
+
+
 def _round_pick(temp: jnp.ndarray, take: int, select: str) -> jnp.ndarray:
     """One batch-greedy round's selection (see _MDS_SELECT)."""
-    if (select or _MDS_SELECT) == "bisect":
+    sel = select or _MDS_SELECT
+    if sel == "sort":
+        return _select_smallest_sort(temp, take)
+    if sel == "bisect":
         return _select_smallest(temp, take)
     return jax.lax.top_k(-temp, take)[1]
 

@@ -108,13 +108,16 @@ def test_mds_xyz_api_fallback_and_batched(monkeypatch, rng):
 
 
 def test_bisect_select_matches_topk_set(rng):
-    """_select_smallest picks the IDENTICAL set stable lax.top_k picks
-    (ties to the lower index) — on continuous densities, on pin-heavy
-    rows, and on adversarial tie fabrics (many duplicated values,
-    exact-zero underflow lanes)."""
+    """_select_smallest (bisect) AND _select_smallest_sort pick the
+    IDENTICAL set stable lax.top_k picks (ties to the lower index) — on
+    continuous densities, on pin-heavy rows, and on adversarial tie
+    fabrics (many duplicated values, exact-zero underflow lanes). The
+    sort arm additionally matches top_k ELEMENTWISE (same ascending
+    value order, ties to lower index)."""
     import jax
     import jax.numpy as jnp
-    from sparenet_tpu.ops.mds import _select_smallest, _BIG
+    from sparenet_tpu.ops.mds import (_select_smallest,
+                                      _select_smallest_sort, _BIG)
 
     cases = []
     t = rng.rand(4, 300).astype(np.float32) * 100
@@ -137,6 +140,10 @@ def test_bisect_select_matches_topk_set(rng):
                     name, take, bi)
             # index-sorted within the round, by construction
             assert (np.diff(a, axis=1) > 0).all(), (name, take)
+            # sort arm: elementwise-identical to stable top_k
+            s = np.asarray(jax.jit(
+                lambda x: _select_smallest_sort(x, take))(tc))
+            np.testing.assert_array_equal(s, b, err_msg=f"{name} {take}")
 
 
 def test_batched_bisect_vs_topk_same_selection(rng):
@@ -151,5 +158,7 @@ def test_batched_bisect_vs_topk_same_selection(rng):
     for kw in (dict(g=16), dict(g=48), dict(g=8192, schedule=(8, 16))):
         a = np.asarray(_mds_batched(x, 64, mml, select="bisect", **kw))
         b = np.asarray(_mds_batched(x, 64, mml, select="topk", **kw))
+        s = np.asarray(_mds_batched(x, 64, mml, select="sort", **kw))
         for bi in range(2):
             assert set(a[bi].tolist()) == set(b[bi].tolist()), kw
+            assert set(s[bi].tolist()) == set(b[bi].tolist()), kw
