@@ -113,9 +113,15 @@ def main():
     }
     if result["mode"] == "serving":
         # record which MDS implementation the serving refine actually
-        # resolved to (batched | hybrid | explicit override)
+        # resolved to (batched | hybrid | explicit override), plus the
+        # batch-greedy dial state (round plan + selection arm) so each
+        # record is self-describing
         from sparenet_tpu.ops import mds as _mds
         result["mds"] = _mds.resolve_impl()
+        if result["mds"] in ("batched", "hybrid"):
+            dial = _mds.dial_state()
+            result["mds_rounds"] = dial["rounds"]
+            result["mds_select"] = dial["select"]
     print(json.dumps(result))
 
 

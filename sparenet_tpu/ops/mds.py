@@ -121,6 +121,15 @@ def resolve_impl(impl: str = "auto") -> str:
     return impl
 
 
+def dial_state() -> dict:
+    """The batch-greedy dial as a plain dict (public, for tooling /
+    bench labeling): round plan (schedule or fixed G) + selection arm."""
+    return {
+        "rounds": list(_MDS_SCHEDULE) or f"G={_MDS_BATCH_G}",
+        "select": _MDS_SELECT,
+    }
+
+
 def _select_smallest(temp: jnp.ndarray, take: int) -> jnp.ndarray:
     """Indices of the `take` smallest densities per batch row — the
     IDENTICAL set stable ``lax.top_k(-temp, take)`` picks (ties resolve
