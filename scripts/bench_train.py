@@ -114,6 +114,10 @@ def main():
             "batch": batch,
             "regime": "trained" if weights else "init",
             "mode": "serving_aligned" if aligned else "parity",
+            # the train-commute encoder arm in effect (0 = dense)
+            "train_commute": __import__(
+                "sparenet_tpu.ops.common", fromlist=["x"]
+            ).TRAIN_COMMUTE_IMPL,
         }), flush=True)
 
 
