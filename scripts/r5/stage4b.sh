@@ -34,9 +34,10 @@ for kw in (dict(g=8192), dict(g=8192, schedule=(4096,)),
 print("SORT_PARITY " + ("PASS" if ok else "FAIL"), flush=True)
 EOF
 
-echo "=== [2/3] per-config MDS cost (sort arm) ==="
+echo "=== [2/3] per-config MDS cost (sort arm) + piece budget ==="
 SPARENET_MDS_SELECT=sort python scripts/r5/profile_mds_configs.py \
     2>&1 | tee $OUT/mds_configs_sort.log
+python scripts/r5/profile_mds_pieces.py 2>&1 | tee $OUT/mds_pieces.log
 
 echo "=== [3/3] bench at candidate configs (sort arm) ==="
 for CFG in "G8192:" "S4096:SPARENET_MDS_SCHEDULE=4096" \
