@@ -50,7 +50,7 @@ def main():
 
     print("== selection at each round size ==", flush=True)
     for take in (2048, 4096, 8192, 12287, 14335):
-        for arm in ("sort", "topk"):
+        for arm in ("sort", "topk", "pack16"):
             def f(t, take=take, arm=arm):
                 idx = _round_pick(t, take, arm)
                 return jnp.float32(jnp.sum(idx[:, ::173]))

@@ -40,11 +40,11 @@ SPARENET_MDS_SELECT=sort python scripts/r5/profile_mds_configs.py \
 python scripts/r5/profile_mds_pieces.py 2>&1 | tee $OUT/mds_pieces.log
 
 echo "=== [3/3] bench at candidate configs (sort arm) ==="
-for CFG in "G8192:" "S4096:SPARENET_MDS_SCHEDULE=4096" \
-           "S2048_4096:SPARENET_MDS_SCHEDULE=2048,4096" \
-           "S1k2k4k:SPARENET_MDS_SCHEDULE=1024,2048,4096" \
-           "G6144:SPARENET_MDS_BATCH_G=6144" \
-           "S2048:SPARENET_MDS_SCHEDULE=2048"; do
+for CFG in "S4096:SPARENET_MDS_SCHEDULE=4096" \
+           "S2048:SPARENET_MDS_SCHEDULE=2048" \
+           "S4096_pack16:SPARENET_MDS_SCHEDULE=4096 SPARENET_MDS_SELECT=pack16" \
+           "S2048_pack16:SPARENET_MDS_SCHEDULE=2048 SPARENET_MDS_SELECT=pack16" \
+           "G8192_pack16:SPARENET_MDS_SELECT=pack16"; do
   NAME="${CFG%%:*}"; ENVV="${CFG#*:}"
   echo "--- $NAME ---"
   env $ENVV python bench.py 2>/dev/null | tee $OUT/bench_sort_$NAME.json

@@ -89,10 +89,15 @@ if any(v < 1 for v in _MDS_SCHEDULE):
 #   "topk"   lax.top_k, whose cost grows steeply with take (2.6 ms at
 #            take=2048 -> ~13.6 ms at take=12287 at the production
 #            shape, docs/artifacts/r5/stage3) — retained for A/B.
+#   "pack16" relaxed 15-bit rank packed with the lane index into ONE
+#            i32 sort key (single-key unstable sort; see
+#            _select_smallest_pack16) — serving-speed candidate whose
+#            selection-set drift lives in the ~2^-7 near-tie envelope;
+#            quality must be measured (SERVING_ENVELOPE) per config.
 _MDS_SELECT = os.environ.get("SPARENET_MDS_SELECT", "sort").lower()
-if _MDS_SELECT not in ("sort", "bisect", "topk"):
+if _MDS_SELECT not in ("sort", "bisect", "topk", "pack16"):
     raise ValueError(f"SPARENET_MDS_SELECT={_MDS_SELECT!r} "
-                     "must be 'sort', 'bisect' or 'topk'")
+                     "must be 'sort', 'bisect', 'topk' or 'pack16'")
 # What serving-mode "auto" resolves to on TPU ("batched" | "hybrid");
 # the stage-1 hardware pass (quality envelope + bench) decides the
 # shipped default. SPARENET_MDS_IMPL overrides either way.
@@ -195,6 +200,34 @@ def _select_smallest_sort(temp: jnp.ndarray, take: int) -> jnp.ndarray:
     return jax.lax.slice_in_dim(idx, 0, take, axis=1)
 
 
+def _select_smallest_pack16(temp: jnp.ndarray, take: int) -> jnp.ndarray:
+    """Relaxed-rank selection via ONE single-key i32 sort (serving-mode
+    candidate, the packed-key kNN relaxation class — knn_pallas.py).
+
+    The sort key packs a 15-bit truncated-f32 rank (sign+exp+6 mantissa
+    bits; monotone non-decreasing vs f32 for the non-negative
+    densities) with the 15-bit lane index in the low bits: one
+    UNIQUE-key unstable sort instead of a 2-operand stable variadic
+    sort, and the payload decode is a bitwise-and. Selection can differ
+    from the exact arms only where two densities agree to ~2^-7
+    relative — the near-tie envelope in which batch-greedy picks are
+    interchangeable anyway. Pins (1e9) rank above every reachable
+    density sum (< ~2^16), so pinned lanes stay excluded. Quality is a
+    measured contract (docs/SERVING_ENVELOPE.md), NOT an identity —
+    keep the exact `sort` default anywhere unmeasured.
+    """
+    b, n = temp.shape
+    if n >= (1 << 15):
+        return _select_smallest_sort(temp, take)
+    bits = jax.lax.bitcast_convert_type(temp, jnp.int32)
+    rank = jax.lax.shift_right_logical(bits, 17)          # 15-bit rank
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    key = jnp.bitwise_or(jax.lax.shift_left(rank, 15), iota)
+    skey = jax.lax.sort(key, dimension=1, is_stable=False)
+    idx = jnp.bitwise_and(skey, (1 << 15) - 1)
+    return jax.lax.slice_in_dim(idx, 0, take, axis=1)
+
+
 def _round_pick(temp: jnp.ndarray, take: int, select: str) -> jnp.ndarray:
     """One batch-greedy round's selection (see _MDS_SELECT)."""
     sel = select or _MDS_SELECT
@@ -202,6 +235,8 @@ def _round_pick(temp: jnp.ndarray, take: int, select: str) -> jnp.ndarray:
         return _select_smallest_sort(temp, take)
     if sel == "bisect":
         return _select_smallest(temp, take)
+    if sel == "pack16":
+        return _select_smallest_pack16(temp, take)
     return jax.lax.top_k(-temp, take)[1]
 
 

@@ -162,3 +162,50 @@ def test_batched_bisect_vs_topk_same_selection(rng):
         for bi in range(2):
             assert set(a[bi].tolist()) == set(b[bi].tolist()), kw
             assert set(s[bi].tolist()) == set(b[bi].tolist()), kw
+
+def test_pack16_select_set_properties(rng):
+    """pack16 (relaxed 15-bit rank): identical to the exact arms when
+    density gaps exceed the 2^-7 rank quantum; on tie fabrics ties
+    break to the lower index; indices always unique/in-range; and any
+    set difference vs exact on continuous inputs stays confined to the
+    near-tie boundary (symmetric difference members' densities differ
+    from the exact threshold by < 2^-6 relative)."""
+    import jax
+    import jax.numpy as jnp
+    from sparenet_tpu.ops.mds import (_select_smallest_pack16,
+                                      _select_smallest_sort, _BIG)
+
+    # well-separated values: doubling gaps >> 2^-7 -> exact equality
+    base = (2.0 ** rng.permutation(np.arange(32))).astype(np.float32)
+    t = np.stack([base[rng.permutation(32)] for _ in range(4)])
+    for take in (1, 5, 31):
+        a = np.asarray(jax.jit(
+            lambda x: _select_smallest_pack16(x, take))(jnp.asarray(t)))
+        b = np.asarray(jax.jit(
+            lambda x: _select_smallest_sort(x, take))(jnp.asarray(t)))
+        np.testing.assert_array_equal(np.sort(a, 1), np.sort(b, 1))
+
+    # 10-way exact ties + pinned block: lower-index tie-break, pins out
+    t2 = np.repeat(rng.rand(2, 30).astype(np.float32), 10, axis=1)
+    t2[:, :40] = _BIG
+    a = np.asarray(jax.jit(
+        lambda x: _select_smallest_pack16(x, 150))(jnp.asarray(t2)))
+    b = np.asarray(jax.jit(
+        lambda x: _select_smallest_sort(x, 150))(jnp.asarray(t2)))
+    for bi in range(2):
+        assert set(a[bi].tolist()) == set(b[bi].tolist())
+
+    # continuous: drift confined to the near-tie boundary
+    t3 = jnp.asarray(rng.rand(4, 500).astype(np.float32) * 100)
+    take = 300
+    a = np.asarray(jax.jit(
+        lambda x: _select_smallest_pack16(x, take))(t3))
+    b = np.asarray(jax.jit(
+        lambda x: _select_smallest_sort(x, take))(t3))
+    t3 = np.asarray(t3)
+    for bi in range(4):
+        sa, sb = set(a[bi].tolist()), set(b[bi].tolist())
+        assert len(a[bi]) == len(sa) == take          # unique, full
+        thresh = t3[bi][sorted(sb, key=lambda i: t3[bi][i])[-1]]
+        for i in sa ^ sb:
+            assert abs(t3[bi][i] - thresh) / thresh < 2 ** -6, (bi, i)
