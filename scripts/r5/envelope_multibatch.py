@@ -102,27 +102,38 @@ def main():
         return np.asarray(rows)                       # [NB, 3]
 
     g0, impl0 = mds_mod._MDS_BATCH_G, mds_mod._MDS_IMPL
-    sched0 = mds_mod._MDS_SCHEDULE
-    configs = [("parity", None, None, None)]
+    sched0, sel0 = mds_mod._MDS_SCHEDULE, mds_mod._MDS_SELECT
+    configs = [("parity", None, None, None, None)]
     for g in (8192, 6144, 4096, 3072, 2048):
-        configs.append((f"serving G={g}", g, None, None))
+        configs.append((f"serving G={g}", g, None, None, None))
     # round-size schedules: early updates at ~G=8192's update work
     # (see ops/mds.py _MDS_SCHEDULE); SCHEDULES=0 skips
     if os.environ.get("SCHEDULES", "1") == "1":
         for sched in ((2048, 4096), (4096,), (2048,),
                       (1024, 2048, 4096)):
             configs.append((f"serving S={','.join(map(str, sched))}",
-                            8192, None, sched))
-    configs.append(("serving exactMDS", None, "pallas", None))
+                            8192, None, sched, None))
+    # PACK16=1: the relaxed-rank selection arm at the candidate headline
+    # configs (ops/mds._select_smallest_pack16)
+    if os.environ.get("PACK16", "0") == "1":
+        for sched in ((4096,), (2048,)):
+            configs.append(
+                (f"serving S={sched[0]}/pack16", 8192, None, sched,
+                 "pack16"))
+        configs.append(("serving G=8192/pack16", 8192, None, None,
+                        "pack16"))
+    configs.append(("serving exactMDS", None, "pallas", None, None))
 
     results = {}
-    for name, g, impl, sched in configs:
+    for name, g, impl, sched, sel in configs:
         mds_mod._MDS_BATCH_G = g if g else g0
         mds_mod._MDS_IMPL = impl if impl else impl0
         mds_mod._MDS_SCHEDULE = sched if sched else sched0
+        mds_mod._MDS_SELECT = sel if sel else sel0
         rows = run(name != "parity")
         results[name] = rows
         mds_mod._MDS_SCHEDULE = sched0
+        mds_mod._MDS_SELECT = sel0
         m, s = rows.mean(0), rows.std(0)
         print(f"[{name:18s}] CD*1000 {m[0]:.4f}+-{s[0]:.4f}  "
               f"F {m[1]:.4f}+-{s[1]:.4f}  EMD {m[2]:.4f}+-{s[2]:.4f}",
