@@ -40,9 +40,7 @@ SPARENET_MDS_SELECT=sort python scripts/r5/profile_mds_configs.py \
 python scripts/r5/profile_mds_pieces.py 2>&1 | tee $OUT/mds_pieces.log
 
 echo "=== [3/3] bench at candidate configs (sort arm) ==="
-for CFG in "S4096:SPARENET_MDS_SCHEDULE=4096" \
-           "S2048:SPARENET_MDS_SCHEDULE=2048" \
-           "S4096_pack16:SPARENET_MDS_SCHEDULE=4096 SPARENET_MDS_SELECT=pack16" \
+for CFG in "S4096_pack16:SPARENET_MDS_SCHEDULE=4096 SPARENET_MDS_SELECT=pack16" \
            "S2048_pack16:SPARENET_MDS_SCHEDULE=2048 SPARENET_MDS_SELECT=pack16" \
            "G8192_pack16:SPARENET_MDS_SELECT=pack16"; do
   NAME="${CFG%%:*}"; ENVV="${CFG#*:}"

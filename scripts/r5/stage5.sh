@@ -10,8 +10,8 @@
 set -uo pipefail
 cd /root/repo
 OUT=${OUT:-/tmp/r5_stage5}
-EPOCHS=${EPOCHS:-20}
-GAN_EPOCHS=${GAN_EPOCHS:-2}
+EPOCHS=${EPOCHS:-12}
+GAN_EPOCHS=${GAN_EPOCHS:-1}
 mkdir -p $OUT
 
 echo "=== [1/4] train flagship ($EPOCHS epochs, r4 recipe) ==="
@@ -21,6 +21,19 @@ python train.py --model sparenet --config scripts/r4/train_conv_sparenet.yaml \
 CKPT=$(ls -d $OUT/train/checkpoints/*/ckpt-best 2>/dev/null | head -1)
 if [ -z "$CKPT" ]; then echo "STAGE5 ABORT: no checkpoint"; exit 1; fi
 echo "checkpoint: $CKPT"
+
+echo "=== [1b/4] archive checkpoint (bf16 npz) + calibrate mml ==="
+mkdir -p docs/artifacts/r5
+python -m sparenet_tpu.utils.ckpt_npz export "$CKPT" \
+    docs/artifacts/r5/flagship_e${EPOCHS}_bf16.npz
+python scripts/calibrate_mml.py --model sparenet --weights "$CKPT" \
+    2>&1 | tee $OUT/calibrate.log | tail -5
+
+echo "=== [1c/4] multi-batch envelope on the new checkpoint (pack16 rows) ==="
+RATIO=$(grep -oP 'ratio: mean \K[0-9.]+' $OUT/calibrate.log | head -1)
+PACK16=1 python scripts/r5/envelope_multibatch.py --weights "$CKPT" \
+    --calibration "${RATIO:-1.15}" --batches 8 --batch 16 \
+    --json-out $OUT/envelope_r5ckpt.json 2>&1 | tee $OUT/envelope_r5ckpt.log
 
 echo "=== [2/4] FPD per-category round (tracks the r4 416->205 series) ==="
 python scripts/r4/fpd_round.py --weights "$CKPT" \
