@@ -49,7 +49,7 @@ def main():
     xs4 = jnp.asarray(rs.rand(4, B, N, 3).astype(np.float32) - 0.5)
 
     print("== selection at each round size ==", flush=True)
-    for take in (2048, 4096, 8192, 12287, 14335):
+    for take in (4096, 8192, 12287):
         for arm in ("sort", "topk", "pack16"):
             def f(t, take=take, arm=arm):
                 idx = _round_pick(t, take, arm)
@@ -60,7 +60,7 @@ def main():
 
     print("== dot-form exp2 update at each covered size ==", flush=True)
     kde = jnp.full((B, 1), 7.3, jnp.float32)
-    for g in (2048, 4096, 8192, 12287):
+    for g in (4096, 8192):
         def f(x, g=g):
             s = x[:, :g]                          # stand-in selected rows
             bias = -jnp.sum(x * x, -1) * kde
@@ -76,7 +76,7 @@ def main():
     idx_all = jnp.asarray(
         np.stack([rs.permutation(N)[:14336] for _ in range(B)]).astype(
             np.int32))
-    for take in (2048, 4096, 8192, 12287, 14335):
+    for take in (8192, 12287):
         idx = idx_all[:, :take]
         def f(x, idx=idx):
             rows = jnp.take_along_axis(x, idx[..., None], axis=1)
