@@ -14,6 +14,10 @@ EPOCHS=${EPOCHS:-12}
 GAN_EPOCHS=${GAN_EPOCHS:-1}
 mkdir -p $OUT
 
+echo "=== [0/4] schedule-overhead probe ==="
+python scripts/r5/profile_sched_overhead.py 2>&1 \
+    | tee $OUT/sched_overhead.log
+
 echo "=== [1/4] train flagship ($EPOCHS epochs, r4 recipe) ==="
 python train.py --model sparenet --config scripts/r4/train_conv_sparenet.yaml \
     --epochs "$EPOCHS" --workdir $OUT/train \
