@@ -104,13 +104,17 @@ def main():
     g0, impl0 = mds_mod._MDS_BATCH_G, mds_mod._MDS_IMPL
     sched0, sel0 = mds_mod._MDS_SCHEDULE, mds_mod._MDS_SELECT
     configs = [("parity", None, None, None, None)]
-    for g in (8192, 6144, 4096, 3072, 2048):
+    # FULL=0 keeps only the headline-decision configs (compile time per
+    # config is the cost driver on chip)
+    full = os.environ.get("FULL", "1") == "1"
+    for g in ((8192, 6144, 4096, 3072, 2048) if full else (8192,)):
         configs.append((f"serving G={g}", g, None, None, None))
     # round-size schedules: early updates at ~G=8192's update work
     # (see ops/mds.py _MDS_SCHEDULE); SCHEDULES=0 skips
     if os.environ.get("SCHEDULES", "1") == "1":
-        for sched in ((2048, 4096), (4096,), (2048,),
-                      (1024, 2048, 4096)):
+        for sched in (((2048, 4096), (4096,), (2048,),
+                       (1024, 2048, 4096)) if full
+                      else ((4096,), (2048,))):
             configs.append((f"serving S={','.join(map(str, sched))}",
                             8192, None, sched, None))
     # PACK16=1: the relaxed-rank selection arm at the candidate headline

@@ -44,7 +44,7 @@ python scripts/calibrate_mml.py --model sparenet --weights "$CKPT" \
 
 echo "=== [1c/4] multi-batch envelope on the new checkpoint (pack16 rows) ==="
 RATIO=$(grep -oP 'ratio: mean \K[0-9.]+' $OUT/calibrate.log | head -1)
-PACK16=1 python scripts/r5/envelope_multibatch.py --weights "$CKPT" \
+PACK16=1 FULL=0 python scripts/r5/envelope_multibatch.py --weights "$CKPT" \
     --calibration "${RATIO:-1.15}" --batches 8 --batch 16 \
     --json-out $OUT/envelope_r5ckpt.json 2>&1 | tee $OUT/envelope_r5ckpt.log
 
