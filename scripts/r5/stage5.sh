@@ -48,11 +48,23 @@ PACK16=1 FULL=0 python scripts/r5/envelope_multibatch.py --weights "$CKPT" \
     --calibration "${RATIO:-1.15}" --batches 8 --batch 16 \
     --json-out $OUT/envelope_r5ckpt.json 2>&1 | tee $OUT/envelope_r5ckpt.log
 
+mkdir -p docs/artifacts/r5/stage5
+cp $OUT/sched_overhead.log $OUT/calibrate.log $OUT/envelope_r5ckpt.* \
+    docs/artifacts/r5/stage5/ 2>/dev/null
+git add docs/artifacts/r5/stage5 && git commit -q \
+    -m "Archive stage-5 evidence: sched-overhead probe, calibration, fresh-ckpt envelope" \
+    || true
+
 echo "=== [2/4] FPD per-category round + torus diagnostic ==="
 python scripts/r4/fpd_round.py --weights "$CKPT" \
     --out $OUT/fpd_round.json 2>&1 | tee $OUT/fpd_round.log | tail -40
 python scripts/r5/diag_fpd_torus.py --weights "$CKPT" --n 200 \
     --outdir $OUT/fpd_diag 2>&1 | tee $OUT/diag_fpd_torus.log | tail -40
+cp $OUT/fpd_round.json $OUT/fpd_round.log $OUT/diag_fpd_torus.log \
+    docs/artifacts/r5/stage5/ 2>/dev/null
+cp -r $OUT/fpd_diag docs/artifacts/r5/stage5/ 2>/dev/null
+git add docs/artifacts/r5/stage5 && git commit -q \
+    -m "Archive stage-5 FPD round + torus diagnostic" || true
 
 NOW=$(date +%H%M)
 if [ "$NOW" -lt "$DEADLINE_GAN" ]; then
