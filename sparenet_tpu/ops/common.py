@@ -46,19 +46,26 @@ ENC_COMMUTE = os.environ.get("SPARENET_ENC_COMMUTE", "1") == "1"
 # (dense jnp.max splits ties — measure-zero on real activations).
 # Measured (r4, B=24 chamfer, v5e, scripts/r4/profile_train_decomp.py):
 # the pure-XLA formulation LOSES to the dense chain — full step 887 vs
-# 797 ms (fwd 441 vs 400; enc bwd 219 vs 172) — because TPU XLA
-# serializes the scalar-index scatters it leans on (the deg histogram
-# in forward, the per-slot row scatters of the gather VJPs in
-# backward), costing more than the skipped dense elementwise passes.
-# The identity is exact (tests/test_train_commute.py) and the traffic
-# math holds, so the path stays available for a Pallas realization
-# (VMEM-resident fused gather-reduce forward + table-accumulate
-# scatter VJP, the gather_pallas/mds_pallas pattern); until then it is
-# OFF by default — a measured negative result, kept honest here.
-# Values: "0" off; "1"/"pallas" on with the Pallas fused gather/scatter
-# kernels (ops/pallas/edge_train_pallas.py) where supported; "xla"
-# forces the pure-XLA formulation (the measured-negative A/B arm).
-TRAIN_COMMUTE_IMPL = os.environ.get("SPARENET_TRAIN_COMMUTE", "0").lower()
+# 797 ms — because TPU XLA serializes its scalar-index scatters; the
+# Pallas realization (ops/pallas/edge_train_pallas.py: VMEM-resident
+# fused gather-reduce forward + table-accumulate scatter VJP) WINS the
+# A/B at 723.9 vs 797.3 ms (1.10x, commit 3af040e).
+# Default is "auto" (round 5): the Pallas commute stage wherever the
+# kernels carry it, dense elsewhere. The round-4 free-running value-
+# parity gate that blocked this flip was root-caused as measuring the
+# wrong thing — the deviation is near-tie kNN graph flips seeded by
+# ~1e-6/stage rounding of an exact identity, and the PURE-XLA commute
+# arm fails it identically (docs/artifacts/r5/stage2/diag_commute.log).
+# The accepted gate is semantic: kernel micro-parity (fwd bitwise /
+# ulps, VJP cosine 1.0) + training-convergence A/B inside the
+# seed-to-seed envelope (COMMUTE_CONVERGE PASS,
+# scripts/r5/commute_converge_ab.py — end-state val CD dev 0.0125 vs
+# seed envelope 0.1427).
+# Values: "auto" (default) Pallas kernels where supported, else dense;
+# "0" off; "1"/"pallas" force the kernels; "xla" forces the pure-XLA
+# formulation (the measured-negative A/B arm).
+TRAIN_COMMUTE_IMPL = os.environ.get("SPARENET_TRAIN_COMMUTE",
+                                    "auto").lower()
 TRAIN_COMMUTE = TRAIN_COMMUTE_IMPL != "0"
 
 # SPARENET_EVAL_FAST=1 enables the eval-mode EdgeConv fast path
