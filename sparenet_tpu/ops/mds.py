@@ -66,9 +66,17 @@ if _MDS_TAIL < 1:
 # at (nearly) the same total update work as G=8192 — update cost scales
 # with npoint minus the final round, so "2048,4096" (final round 10239,
 # two updates) costs about one G=8192 update but refreshes the density
-# at picks 2048 and 6144 where staleness hurts most. Empty = fixed G.
+# at picks 2048 and 6144 where staleness hurts most. "" = fixed G.
+# DEFAULT "2048" (round 5): the staleness damage of batch-greedy MDS
+# lives in the EARLY picks, and a single small first round removes it —
+# measured quality-NEUTRAL on two independent checkpoints (fine-tuned:
+# -2.67% vs fixed G=8192's -4.23%; fresh 8-epoch: +1.22% vs -5.70% —
+# docs/SERVING_ENVELOPE.md section 5/7) at ~96% of fixed-G=8192 speed.
+# Max-speed dial point: SPARENET_MDS_SCHEDULE= (empty) for fixed
+# G=8192.
 _MDS_SCHEDULE = tuple(
-    int(v) for v in os.environ.get("SPARENET_MDS_SCHEDULE", "").split(",")
+    int(v) for v in os.environ.get("SPARENET_MDS_SCHEDULE",
+                                   "2048").split(",")
     if v.strip())
 if any(v < 1 for v in _MDS_SCHEDULE):
     raise ValueError(
